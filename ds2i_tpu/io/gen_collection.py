@@ -1,0 +1,89 @@
+"""Deterministic synthetic test-collection generator.
+
+The reference ships test/test_data/test_collection.{docs,freqs,sizes} (10k
+docs) which is absent from this mount (SURVEY.md, repo facts). This module
+regenerates a statistically compatible collection: Zipf-distributed document
+frequencies over the vocabulary, clustered docids (docid locality is what
+partitioned EF exploits), geometric within-document term counts, plus a
+query log sampled by term frequency.
+"""
+
+import numpy as np
+
+from .binary_collection import write_binary_collection
+
+
+def generate_collection(
+    basename,
+    num_docs=10_000,
+    num_terms=110_000,
+    postings_target=2_000_000,
+    num_queries=3_500,
+    max_query_len=4,
+    seed=1729,
+):
+    """Writes <basename>.{docs,freqs,sizes} and <basename>.queries.
+
+    Returns (num_docs, num_terms_written, total_postings).
+    """
+    rng = np.random.RandomState(seed)
+
+    # Zipf-ish document frequencies per term, scaled to the postings target.
+    ranks = np.arange(1, num_terms + 1, dtype=np.float64)
+    weights = 1.0 / ranks
+    dfs = np.maximum(1, (weights / weights.sum() * postings_target)).astype(np.int64)
+    dfs = np.minimum(dfs, num_docs)
+    rng.shuffle(dfs)  # term-id order is not frequency order in real collections
+
+    # Draw (term, doc) pairs in bulk; dedupe via a combined key. np.unique
+    # sorts, giving docids sorted within each term for free.
+    term_rep = np.repeat(np.arange(num_terms, dtype=np.int64), (dfs * 1.25 + 4).astype(np.int64))
+    # half the mass drawn from a per-term cluster center for docid locality
+    centers = rng.randint(0, num_docs, size=num_terms)
+    local = rng.rand(len(term_rep)) < 0.5
+    spread = np.maximum(50, num_docs // 20)
+    docs_draw = np.where(
+        local,
+        (centers[term_rep] + rng.randint(-spread, spread, size=len(term_rep))) % num_docs,
+        rng.randint(0, num_docs, size=len(term_rep)),
+    )
+    keys = np.unique(term_rep * np.int64(num_docs) + docs_draw)
+    terms = (keys // num_docs).astype(np.int64)
+    docs = (keys % num_docs).astype(np.uint32)
+    freqs = np.minimum(rng.geometric(0.55, size=len(keys)), 1000).astype(np.uint32)
+
+    # split per term
+    starts = np.searchsorted(terms, np.arange(num_terms))
+    ends = np.searchsorted(terms, np.arange(num_terms) + 1)
+
+    def doc_seqs():
+        yield np.array([num_docs], dtype=np.uint32)
+        for t in range(num_terms):
+            if ends[t] > starts[t]:
+                yield docs[starts[t] : ends[t]]
+
+    def freq_seqs():
+        for t in range(num_terms):
+            if ends[t] > starts[t]:
+                yield freqs[starts[t] : ends[t]]
+
+    write_binary_collection(str(basename) + ".docs", doc_seqs())
+    write_binary_collection(str(basename) + ".freqs", freq_seqs())
+
+    sizes = np.bincount(docs, weights=freqs.astype(np.float64), minlength=num_docs).astype(np.uint32)
+    sizes = np.maximum(sizes, 1)
+    write_binary_collection(str(basename) + ".sizes", [sizes])
+
+    # query log: term ids (of non-empty lists) sampled ~ sqrt(df)
+    nonempty = np.nonzero(ends > starts)[0]
+    # remap: term-ids in the index are positions among non-empty lists
+    df_ne = (ends - starts)[nonempty].astype(np.float64)
+    p = np.sqrt(df_ne)
+    p /= p.sum()
+    with open(str(basename) + ".queries", "w") as f:
+        for _ in range(num_queries):
+            qlen = rng.randint(1, max_query_len + 1)
+            terms_q = rng.choice(len(nonempty), size=qlen, replace=False, p=p)
+            f.write(" ".join(str(int(t)) for t in terms_q) + "\n")
+
+    return num_docs, int(len(nonempty)), int(len(keys))
