@@ -1,0 +1,3 @@
+from .device_index import DeviceIndex
+from .executor import QueryEngine
+from .flat_executor import FlatQueryEngine

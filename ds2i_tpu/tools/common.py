@@ -31,12 +31,20 @@ def load_wand_data(path):
 
 
 def postings_stats(index, collection):
-    """bits_per_doc / bits_per_freq (index_build_utils.hpp:74-91 equivalent)."""
+    """bits_per_doc / bits_per_freq (index_build_utils.hpp:74-91 equivalent).
+    Block indexes interleave docs/freqs bytes, so they report a combined
+    bits_per_posting instead."""
     postings = sum(index.list_length(i) for i in range(index.size()))
-    docs_bits = index.docs_sequences.bits_bv.nbits + index.docs_sequences.endpoints_bv.nbits
-    freqs_bits = index.freqs_sequences.bits_bv.nbits + index.freqs_sequences.endpoints_bv.nbits
+    if hasattr(index, "docs_sequences"):
+        docs_bits = index.docs_sequences.bits_bv.nbits + index.docs_sequences.endpoints_bv.nbits
+        freqs_bits = index.freqs_sequences.bits_bv.nbits + index.freqs_sequences.endpoints_bv.nbits
+        return {
+            "postings": postings,
+            "bits_per_doc": docs_bits / postings,
+            "bits_per_freq": freqs_bits / postings,
+        }
+    total_bits = len(index.lists) * 8 + index.endpoints_bv.nbits
     return {
         "postings": postings,
-        "bits_per_doc": docs_bits / postings,
-        "bits_per_freq": freqs_bits / postings,
+        "bits_per_posting_total": total_bits / postings,
     }

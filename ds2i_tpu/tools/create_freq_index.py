@@ -33,7 +33,8 @@ def create_collection(type_name, basename, output=None, check=False, params=None
     logger(f"{type_name} collection built in {elapsed:.3f} seconds")
 
     stats = postings_stats(index, coll)
-    stats_line(type=type_name, worker_threads=b.pool.workers,
+    workers = b.pool.workers if hasattr(b, "pool") else 1
+    stats_line(type=type_name, worker_threads=workers,
                construction_time=elapsed, **stats)
 
     if output:

@@ -6,3 +6,19 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon TPU plugin (sitecustomize) registers itself regardless of
+# JAX_PLATFORMS and becomes the default backend; route tests to CPU
+# explicitly so they are fast and deterministic.
+import jax  # noqa: E402
+
+try:
+    _cpu = jax.local_devices(backend="cpu")
+    jax.config.update("jax_default_device", _cpu[0])
+except RuntimeError:
+    pass
+
+
+def cpu_devices(n=None):
+    d = jax.local_devices(backend="cpu")
+    return d if n is None else d[:n]

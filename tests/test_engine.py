@@ -1,0 +1,97 @@
+"""Device engine tests (run on the CPU backend via conftest): batched
+segment decode and query ops must match the oracle layer exactly /
+within float tolerance, across all four EF-family index types."""
+
+import numpy as np
+import pytest
+
+from ds2i_tpu import GlobalParameters
+from ds2i_tpu.engine import DeviceIndex, FlatQueryEngine, QueryEngine
+from ds2i_tpu.index.types import make_index_type
+from ds2i_tpu.io import BinaryFreqCollection, generate_collection, read_sizes
+from ds2i_tpu.queries import (
+    WandData,
+    and_query,
+    or_query,
+    ranked_and_query,
+    ranked_or_query,
+    read_queries,
+)
+
+
+@pytest.fixture(scope="module")
+def coll(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("coll") / "c")
+    generate_collection(base, num_docs=1500, num_terms=4000, postings_target=80_000,
+                        num_queries=80, max_query_len=3)
+    return base
+
+
+def build(coll_base, name):
+    c = BinaryFreqCollection(coll_base)
+    cls = make_index_type(name)
+    b = cls.builder(c.num_docs, GlobalParameters())
+    for docs, freqs in c:
+        b.add_posting_list(len(docs), docs, freqs, int(np.asarray(freqs).sum()))
+    return c, b.build()
+
+
+@pytest.mark.parametrize("name", ["ef", "single", "uniform", "opt"])
+def test_device_decode_matches_host(coll, name):
+    c, index = build(coll, name)
+    dindex = DeviceIndex(index)
+    rng = np.random.RandomState(0)
+    term_ids = rng.randint(0, index.size(), size=24)
+    L = 1 << int(np.ceil(np.log2(max(2, dindex.max_list_len(term_ids)))))
+    docs = np.asarray(dindex.decode_docs(term_ids, L))
+    cums = np.asarray(dindex.decode_freq_cums(term_ids, L))
+    for row, t in enumerate(term_ids):
+        hd, hf = index.decode_list(int(t))
+        n = len(hd)
+        np.testing.assert_array_equal(docs[row, :n], hd.astype(np.int64))
+        assert np.all(docs[row, n:] == index.num_docs())
+        np.testing.assert_array_equal(
+            np.diff(cums[row, :n], prepend=0), hf.astype(np.int64)
+        )
+
+
+@pytest.mark.parametrize("engine_cls", [QueryEngine, FlatQueryEngine])
+@pytest.mark.parametrize("name", ["ef", "opt"])
+def test_engine_boolean_matches_oracle(coll, name, engine_cls):
+    c, index = build(coll, name)
+    engine = engine_cls(index)
+    queries = read_queries(coll + ".queries")[:40]
+    got_and = engine.and_counts(queries)
+    got_or = engine.or_counts(queries)
+    for i, terms in enumerate(queries):
+        assert got_and[i] == and_query(index, terms), f"AND mismatch q={terms}"
+        assert got_or[i] == or_query(index, terms), f"OR mismatch q={terms}"
+
+
+@pytest.mark.parametrize("engine_cls", [QueryEngine, FlatQueryEngine])
+@pytest.mark.parametrize("name", ["ef"])
+def test_engine_ranked_matches_oracle(coll, name, engine_cls):
+    c, index = build(coll, name)
+    wdata = WandData.build(read_sizes(coll), c)
+    engine = engine_cls(index, wdata)
+    queries = read_queries(coll + ".queries")[:30]
+    got_or = engine.ranked_or(queries, k=10)
+    got_and = engine.ranked_and(queries, k=10)
+    for i, terms in enumerate(queries):
+        exp_or = ranked_or_query(index, wdata, terms, k=10)
+        exp_and = ranked_and_query(index, wdata, terms, k=10)
+        assert len(got_or[i]) == len(exp_or)
+        np.testing.assert_allclose(got_or[i], exp_or, rtol=1e-3, err_msg=f"q={terms}")
+        assert len(got_and[i]) == len(exp_and)
+        if exp_and:
+            np.testing.assert_allclose(got_and[i], exp_and, rtol=1e-3, err_msg=f"q={terms}")
+
+
+@pytest.mark.parametrize("engine_cls", [QueryEngine, FlatQueryEngine])
+def test_engine_duplicate_terms(coll, engine_cls):
+    c, index = build(coll, "ef")
+    wdata = WandData.build(read_sizes(coll), c)
+    engine = engine_cls(index, wdata)
+    (r1,) = engine.ranked_or([[5, 5]], k=10)
+    exp = ranked_or_query(index, wdata, [5, 5], k=10)
+    np.testing.assert_allclose(r1, exp, rtol=1e-3)
