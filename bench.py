@@ -73,10 +73,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE, "jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from ds2i_tpu.engine import FlatQueryEngine
+    from ds2i_tpu.engine import TileQueryEngine
 
     log(f"devices: {jax.devices()}")
-    engine = FlatQueryEngine(index, wdata)
+    engine = TileQueryEngine(index, wdata)
 
     # warmup (compile + cache shapes)
     t0 = time.time()

@@ -1,3 +1,4 @@
 from .device_index import DeviceIndex
 from .executor import QueryEngine
 from .flat_executor import FlatQueryEngine
+from .tile_executor import TileQueryEngine

@@ -90,9 +90,13 @@ class DeviceIndex:
         ends = np.where(term_ids >= 0, ranges[tid, 1], starts)
         counts = ends - starts
         total = int(counts.sum())
-        # index expansion: rows of each list, in batch order
+        # index expansion: rows of each list, in batch order (vectorized)
         row_of_seg = np.repeat(np.arange(len(term_ids), dtype=np.int64), counts)
-        seg_idx = np.concatenate([np.arange(s, e) for s, e in zip(starts, ends)]) if total else np.zeros(0, dtype=np.int64)
+        if total:
+            excl = np.cumsum(counts) - counts
+            seg_idx = np.repeat(starts - excl, counts) + np.arange(total, dtype=np.int64)
+        else:
+            seg_idx = np.zeros(0, dtype=np.int64)
         out = {k: v[seg_idx] for k, v in segs.items()}
         out["list_row"] = row_of_seg
         return out

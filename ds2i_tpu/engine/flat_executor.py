@@ -5,9 +5,9 @@ one for production): execute the ENTIRE query batch in ONE fused XLA
 program, so dispatch latency is paid once and every stage is a dense
 vector op:
 
-  1. segment decode, grouped by window size (static shapes per group),
-     scattered straight into a flat postings stream:
-       doc[P], row[P], qw[P], cum[P]   (P = padded total postings)
+  1. segment decode, grouped by select-window size (static shapes per
+     group; pow4-bucketed to bound recompilation), scattered straight into
+     a flat postings stream: doc[P], row[P], qw[P], cum[P]
   2. freqs from prefix-sum diffs within list spans
   3. per-posting BM25 contribution
   4. ONE sort by composite key row*D' + doc (measured 3.5x cheaper than
@@ -15,6 +15,10 @@ vector op:
   5. duplicate-run aggregation via exclusive-cumsum + cummax (no scatter)
   6. boolean AND/OR counts from run/row boundary arithmetic
   7. per-row windowed gather + top-k, grouped by union size
+
+Everything the device needs travels in 4 uploads (segment matrix, segment
+qw, row table, top-k row table); host-side batch layout is fully
+vectorized numpy.
 
 The reference's WAND/MaxScore prune postings on a serial CPU
 (queries.hpp:200-319, 478-591); here the batch-exhaustive evaluation is
@@ -44,10 +48,10 @@ _SEG_FIELDS = (
 NEG_INF = float("-inf")
 
 
-def _pow2_at_least(x, lo=1):
+def _pow_at_least(x, lo=1, base=4):
     v = lo
     while v < int(x):
-        v *= 2
+        v *= base
     return v
 
 
@@ -55,17 +59,14 @@ def _pow2_at_least(x, lo=1):
 def _flat_step(
     docs_words,
     freqs_words,
-    dseg_packs,  # tuple of int32[R_g, 9] (list_row column = flat span start here)
-    fseg_packs,  # tuple matching dgroups
-    seg_rows,  # tuple of int32[R_g] — query row per segment
-    seg_qw,  # tuple of f32[R_g]
-    row_start,  # int32[B+1] — flat span start per row (postings laid out row-major)
-    row_len,  # int32[B]
-    target,  # int32[B] — active term count per row
-    tg_rows,  # tuple of int32[Bh] — row ids per top-k group
+    segs,  # int32[Rtotal, 10]: 9 fields + stream flag (0=docs, 1=freqs)
+    seg_qw,  # f32[Rtotal]
+    seg_row,  # i32[Rtotal] query row per segment
+    rows_tab,  # int32[B+1, 3]: row_start, row_len, target (last row: start only)
+    tg_rows,  # int32[Ttotal] row ids for all top-k groups, concatenated
     norm_lens,  # f32[num_docs]
-    dgroups,  # tuple of (R, W, Lseg)
-    tgroups,  # tuple of (Bh, X)
+    dgroups,  # tuple of (offset, R, W, Lseg, is_freqs)
+    tgroups,  # tuple of (offset, Bh, X)
     P, B, Dp, k, with_scores,
 ):
     num_docs = Dp - 1
@@ -76,52 +77,47 @@ def _flat_step(
     cum = jnp.zeros(P + 1, dtype=jnp.int32)
     first = jnp.zeros(P + 1, dtype=jnp.bool_)
 
-    for g, (R, W, Lseg) in enumerate(dgroups):
-        dp = dseg_packs[g]
-        fp = fseg_packs[g]
+    for off, R, W, Lseg, is_freqs in dgroups:
+        pack = segs[off : off + R]
+        f = {name: pack[:, i] for i, name in enumerate(_SEG_FIELDS)}
         j = jnp.arange(Lseg, dtype=jnp.int32)
-
-        def seg_vals(pack, words):
-            f = {name: pack[:, i] for i, name in enumerate(_SEG_FIELDS)}
-            # decode into per-segment rows; we scatter to flat ourselves
-            vals = decode_rows(
-                words,
-                f["kind"], f["sel_start"], f["sel_len"], f["lb_start"],
-                f["lower_bits"], f["n_vals"], f["base"],
-                jnp.zeros_like(f["out_begin"]),  # out_begin folded into flat idx
-                jnp.arange(R, dtype=jnp.int32),  # each segment its own row
-                f["n_vals"],  # per-row n for sentinel masking
-                W=W, Lseg=Lseg, rows=R, L_out=Lseg, sentinel=-1,
+        vals = decode_rows(
+            freqs_words if is_freqs else docs_words,
+            f["kind"], f["sel_start"], f["sel_len"], f["lb_start"],
+            f["lower_bits"], f["n_vals"], f["base"],
+            jnp.zeros_like(f["out_begin"]),
+            jnp.arange(R, dtype=jnp.int32),
+            f["n_vals"],
+            W=W, Lseg=Lseg, rows=R, L_out=Lseg, sentinel=-1,
+        )
+        valid = j[None, :] < f["n_vals"][:, None]
+        fidx = jnp.where(valid, f["list_row"][:, None] + f["out_begin"][:, None] + j[None, :], P)
+        if is_freqs:
+            cum = cum.at[fidx].set(vals, mode="drop")
+        else:
+            doc = doc.at[fidx].set(jnp.where(valid, vals, num_docs), mode="drop")
+            row = row.at[fidx].set(
+                jnp.broadcast_to(seg_row[off : off + R][:, None], fidx.shape), mode="drop"
             )
-            return f, vals
-
-        fd, dvals = seg_vals(dp, docs_words)
-        ff, fvals = seg_vals(fp, freqs_words)
-
-        # docs and freqs segments partition lists independently (e.g. the
-        # `opt` type); each stream scatters with its own flat indices
-        dvalid = j[None, :] < fd["n_vals"][:, None]
-        didx = jnp.where(dvalid, fd["list_row"][:, None] + fd["out_begin"][:, None] + j[None, :], P)
-        doc = doc.at[didx].set(jnp.where(dvalid, dvals, num_docs), mode="drop")
-        row = row.at[didx].set(jnp.broadcast_to(seg_rows[g][:, None], didx.shape), mode="drop")
-        qwf = qwf.at[didx].set(jnp.broadcast_to(seg_qw[g][:, None], didx.shape), mode="drop")
-        is_first = dvalid & (j[None, :] == 0) & (fd["out_begin"][:, None] == 0)
-        first = first.at[didx].set(is_first, mode="drop")
-
-        fvalid = j[None, :] < ff["n_vals"][:, None]
-        fidx = jnp.where(fvalid, ff["list_row"][:, None] + ff["out_begin"][:, None] + j[None, :], P)
-        cum = cum.at[fidx].set(fvals, mode="drop")
+            qwf = qwf.at[fidx].set(
+                jnp.broadcast_to(seg_qw[off : off + R][:, None], fidx.shape), mode="drop"
+            )
+            is_first = valid & (j[None, :] == 0) & (f["out_begin"][:, None] == 0)
+            first = first.at[fidx].set(is_first, mode="drop")
 
     doc, row, qwf, cum, first = doc[:P], row[:P], qwf[:P], cum[:P], first[:P]
+    row_start = rows_tab[:, 0]
+    row_len = rows_tab[:B, 1]
+    target = rows_tab[:B, 2]
 
     real = row < B
     freq = jnp.where(first, cum, cum - jnp.concatenate([jnp.zeros(1, jnp.int32), cum[:-1]]))
 
     if with_scores:
         nl = norm_lens[jnp.clip(doc, 0, num_docs - 1)]
-        f = freq.astype(jnp.float32)
+        fr = freq.astype(jnp.float32)
         k1, b = jnp.float32(BM25.k1), jnp.float32(BM25.b)
-        contrib = qwf * (f / (f + k1 * (jnp.float32(1.0) - b + b * nl)))
+        contrib = qwf * (fr / (fr + k1 * (jnp.float32(1.0) - b + b * nl)))
         contrib = jnp.where(real, contrib, 0.0)
     else:
         contrib = jnp.zeros(P, jnp.float32)
@@ -149,16 +145,18 @@ def _flat_step(
     tgt = target[jnp.clip(srow, 0, B - 1)]
     and_run = run_last & (run_cnt == tgt) & (tgt > 0)
 
-    # per-row counts: cumsum of flags diffed at row boundaries
+    # per-row counts: cumsum of flags diffed at row boundaries (postings were
+    # laid out row-major, so sorted row spans coincide with row_start/.._len)
     c_or = jnp.cumsum(run_last.astype(jnp.int32))
     c_and = jnp.cumsum(and_run.astype(jnp.int32))
-    bnd = jnp.searchsorted(srow, jnp.arange(B + 1, dtype=jnp.int32))
+    bnd_lo = row_start[:B]
+    bnd_hi = row_start[:B] + row_len
 
     def prefix_at(c, i):
         return jnp.where(i > 0, c[jnp.clip(i - 1, 0, P - 1)], 0)
 
-    or_counts = prefix_at(c_or, bnd[1:]) - prefix_at(c_or, bnd[:-1])
-    and_counts = prefix_at(c_and, bnd[1:]) - prefix_at(c_and, bnd[:-1])
+    or_counts = prefix_at(c_or, bnd_hi) - prefix_at(c_or, bnd_lo)
+    and_counts = prefix_at(c_and, bnd_hi) - prefix_at(c_and, bnd_lo)
 
     if not with_scores:
         z = jnp.zeros((B, k), jnp.float32)
@@ -169,8 +167,8 @@ def _flat_step(
 
     topk_or = jnp.full((B + 1, k), NEG_INF, jnp.float32)
     topk_and = jnp.full((B + 1, k), NEG_INF, jnp.float32)
-    for h, (Bh, X) in enumerate(tgroups):
-        rh = tg_rows[h]  # (Bh,) row ids (padding = B)
+    for off, Bh, X in tgroups:
+        rh = tg_rows[off : off + Bh]
         start = row_start[jnp.clip(rh, 0, B)]
         jj = jnp.arange(X, dtype=jnp.int32)[None, :]
         idx = jnp.clip(start[:, None] + jj, 0, P - 1)
@@ -200,144 +198,149 @@ class FlatQueryEngine:
             else jnp.ones(self.num_docs, jnp.float32)
         )
         self.max_postings = max_postings
-        assert 4 * self.Dp < 2**31, "composite sort key must fit int32"
 
     def _prep(self, queries, ranked):
-        out = []
-        for terms in queries:
-            tf = query_freqs(terms)
-            if ranked:
-                qws = [
-                    float(self.scorer.query_term_weight(qf, int(self.dindex.list_n[t]), self.num_docs))
-                    for t, qf in tf
-                ]
-            else:
-                qws = [1.0] * len(tf)
-            out.append(([t for t, _ in tf], qws))
-        return out
-
-    def _build_batch(self, prepped):
-        """Host-side layout for one fused dispatch. Returns kwargs for _flat_step."""
+        """Vectorized query prep: returns (flat term ids, flat qw, query
+        boundaries) over the whole batch."""
         d = self.dindex
-        B = len(prepped)
+        tf = [query_freqs(t) for t in queries]
+        counts = np.array([len(x) for x in tf], dtype=np.int64)
+        terms = np.array([t for q in tf for t, _ in q], dtype=np.int64)
+        qmult = np.array([m for q in tf for _, m in q], dtype=np.int64)
+        if ranked and len(terms):
+            dfs = d.list_n[terms].astype(_F32)
+            N = _F32(self.num_docs)
+            idf = np.log((N - dfs + _F32(0.5)) / (dfs + _F32(0.5))).astype(_F32)
+            qw = qmult.astype(_F32) * np.maximum(_F32(1e-6), idf) * (_F32(1.0) + BM25.k1)
+        else:
+            qw = np.ones(len(terms), dtype=_F32)
+        return terms, qw, counts
+
+    def _build_batch(self, terms, qw, counts):
+        d = self.dindex
+        B = len(counts)
         assert (B + 1) * self.Dp < 2**31, "composite sort key must fit int32"
 
-        # flat span layout, row-major
-        row_start = np.zeros(B + 1, dtype=_I32)
-        row_len = np.zeros(B, dtype=_I32)
-        target = np.zeros(B, dtype=_I32)
-        spans = []  # (flat_start, term, row, qw)
-        cursor = 0
-        for bi, (terms, qws) in enumerate(prepped):
-            row_start[bi] = cursor
-            target[bi] = len(terms)
-            for t, w in zip(terms, qws):
-                n = int(d.list_n[t])
-                spans.append((cursor, t, bi, w))
-                cursor += n
-            row_len[bi] = cursor - row_start[bi]
-        row_start[B] = cursor
-        P = _pow2_at_least(max(cursor, 1), lo=256)
+        span_n = d.list_n[terms].astype(np.int64)
+        span_end = np.cumsum(span_n)
+        span_start = (span_end - span_n).astype(_I32)
+        qend = np.cumsum(counts)
+        qstart = qend - counts
+        span_row = np.repeat(np.arange(B, dtype=_I32), counts)
 
-        # gather segments for all spans, bucketed by window words
-        term_ids = np.array([s[1] for s in spans], dtype=np.int64)
-        gd = d._gather_segments(d.docs_segs, d.d_ranges, term_ids)
-        gf = d._gather_segments(d.freqs_segs, d.f_ranges, term_ids)
-        # docs and freqs segments of one list can differ in count; handle
-        # them as independent streams sharing flat span offsets
-        batches = []
-        for g, is_docs in ((gd, True), (gf, False)):
-            span_idx = g["list_row"]  # index into spans
-            flat_base = np.array([spans[i][0] for i in span_idx], dtype=_I32)
-            rows = np.array([spans[i][2] for i in span_idx], dtype=_I32)
-            qws = np.array([spans[i][3] for i in span_idx], dtype=_F32)
+        rows_tab = np.zeros((B + 1, 3), dtype=_I32)
+        if len(terms):
+            rows_tab[:B, 0] = span_start[np.minimum(qstart, len(terms) - 1)]
+            rows_tab[:B, 0] = np.where(counts > 0, rows_tab[:B, 0], 0)
+        total = int(span_end[-1]) if len(terms) else 0
+        rows_tab[B, 0] = total
+        rows_tab[:B, 1] = (
+            (np.where(counts > 0, span_end[np.maximum(qend - 1, 0)], 0) - rows_tab[:B, 0])
+            if len(terms)
+            else 0
+        )
+        rows_tab[:B, 2] = counts
+        P = _pow_at_least(max(total, 1), lo=256, base=2)
+
+        gd = d._gather_segments(d.docs_segs, d.d_ranges, terms)
+        gf = d._gather_segments(d.freqs_segs, d.f_ranges, terms)
+
+        # bucket segments of both streams jointly by pow4 window words
+        groups = []  # (desc, seg_matrix, qw, row)
+        for g, is_freqs in ((gd, 0), (gf, 1)):
+            span_idx = g["list_row"]
             wwords = ((g["sel_start"] & 31) + g["sel_len"] + 31) // 32
-            batches.append((g, flat_base, rows, qws, wwords))
-        return batches, row_start, row_len, target, P, B, cursor
-
-    def _group_and_pack(self, batches, P, B):
-        """Bucket docs+freqs segments jointly by (W, Lseg); returns static
-        descriptors + packed arrays. Docs and freqs streams are padded to a
-        common R per group so one descriptor tuple serves both."""
-        (gd, dbase, drows, dqws, dw), (gf, fbase, frows, fqws, fw) = batches
-
-        def order(g, wwords):
-            key = np.maximum(wwords, 1)
-            return np.argsort(key, kind="stable"), key
-
-        do, dkey = order(gd, dw)
-        fo, fkey = order(gf, fw)
-        # joint W bucketing: use per-segment W bucket, group segments of both
-        # streams by bucket id
-        dbuck = np.array([_pow2_at_least(x, lo=4) for x in dkey], dtype=np.int64)
-        fbuck = np.array([_pow2_at_least(x, lo=4) for x in fkey], dtype=np.int64)
-        buckets = sorted(set(dbuck.tolist()) | set(fbuck.tolist()))
-
-        dgroups, dpacks, fpacks, seg_rows, seg_qw = [], [], [], [], []
-        for wb in buckets:
-            di = np.nonzero(dbuck == wb)[0]
-            fi = np.nonzero(fbuck == wb)[0]
-            if len(di) == 0 and len(fi) == 0:
-                continue
-            nmax = 1
-            if len(di):
-                nmax = max(nmax, int(gd["n_vals"][di].max()))
-            if len(fi):
-                nmax = max(nmax, int(gf["n_vals"][fi].max()))
-            Lseg = _pow2_at_least(nmax, lo=8)
-            R = _pow2_at_least(max(len(di), len(fi), 1), lo=8)
-
-            def pack(g, idx, flat_base, rows, qws):
-                a = np.zeros((R, len(_SEG_FIELDS)), dtype=_I32)
-                a[:, 0] = -1
-                a[:, 8] = P  # flat span start for padding -> dropped
-                rr = np.full(R, B, dtype=_I32)
-                qq = np.zeros(R, dtype=_F32)
-                m = len(idx)
+            buck = np.ceil(np.log2(np.maximum(wwords, 1)) / 2).astype(np.int64)  # pow4 exp
+            order = np.argsort(buck, kind="stable")
+            sb = buck[order]
+            edges = np.searchsorted(sb, np.arange(sb[-1] + 2 if len(sb) else 1))
+            for e in range(len(edges) - 1):
+                lo, hi = int(edges[e]), int(edges[e + 1])
+                if hi <= lo:
+                    continue
+                idx = order[lo:hi]
+                W = 4**e
+                Lseg = _pow_at_least(int(g["n_vals"][idx].max()), lo=8, base=4)
+                R = _pow_at_least(len(idx), lo=8, base=2)
+                mat = np.zeros((R, len(_SEG_FIELDS)), dtype=_I32)
+                mat[:, 0] = -1
+                mat[:, 8] = P
                 for i, name in enumerate(_SEG_FIELDS):
                     if name == "list_row":
-                        a[:m, i] = flat_base[idx]
+                        mat[: len(idx), i] = span_start[span_idx[idx]]
                     else:
-                        a[:m, i] = g[name][idx]
-                rr[:m] = rows[idx]
-                qq[:m] = qws[idx]
-                return a, rr, qq
+                        mat[: len(idx), i] = g[name][idx]
+                rowv = np.full(R, B, dtype=_I32)
+                rowv[: len(idx)] = span_row[span_idx[idx]]
+                qwv = np.zeros(R, dtype=_F32)
+                qwv[: len(idx)] = qw[span_idx[idx]]
+                groups.append(((W, Lseg, is_freqs), mat, qwv, rowv))
 
-            da, dr, dq = pack(gd, di, dbase, drows, dqws)
-            fa, fr, fq = pack(gf, fi, fbase, frows, fqws)
-            # rows/qw come from the docs stream scatter; freqs only fill cum
-            dgroups.append((R, int(wb), Lseg))
-            dpacks.append(jnp.asarray(da))
-            fpacks.append(jnp.asarray(fa))
-            seg_rows.append(jnp.asarray(dr))
-            seg_qw.append(jnp.asarray(dq))
-        return tuple(dgroups), tuple(dpacks), tuple(fpacks), tuple(seg_rows), tuple(seg_qw)
+        dgroups = []
+        off = 0
+        mats, qws, rows_ = [], [], []
+        for (W, Lseg, is_freqs), mat, qwv, rowv in groups:
+            R = len(mat)
+            dgroups.append((off, R, W, Lseg, is_freqs))
+            mats.append(mat)
+            qws.append(qwv)
+            rows_.append(rowv)
+            off += R
+        seg_mat = np.concatenate(mats) if mats else np.zeros((0, len(_SEG_FIELDS)), _I32)
+        seg_qw = np.concatenate(qws) if qws else np.zeros(0, _F32)
+        seg_row = np.concatenate(rows_) if rows_ else np.zeros(0, _I32)
 
-    def _topk_groups(self, row_len, B):
-        groups = {}
-        for bi in range(B):
-            X = _pow2_at_least(max(int(row_len[bi]), 1), lo=16)
-            groups.setdefault(X, []).append(bi)
-        tgroups, tg_rows = [], []
-        for X in sorted(groups):
-            rows = groups[X]
-            Bh = _pow2_at_least(len(rows), lo=8)
+        # top-k groups by pow4 union width
+        row_len = rows_tab[:B, 1]
+        tbuck = np.ceil(np.log2(np.maximum(row_len, 1)) / 2).astype(np.int64)
+        torder = np.argsort(tbuck, kind="stable")
+        tsb = tbuck[torder]
+        tedges = np.searchsorted(tsb, np.arange((tsb[-1] + 2) if B else 1))
+        tgroups, trows = [], []
+        toff = 0
+        for e in range(len(tedges) - 1):
+            lo, hi = int(tedges[e]), int(tedges[e + 1])
+            if hi <= lo:
+                continue
+            idx = torder[lo:hi]
+            X = max(4**e, 16)
+            Bh = _pow_at_least(len(idx), lo=8, base=2)
             arr = np.full(Bh, B, dtype=_I32)
-            arr[: len(rows)] = rows
-            tgroups.append((Bh, X))
-            tg_rows.append(jnp.asarray(arr))
-        return tuple(tgroups), tuple(tg_rows)
+            arr[: len(idx)] = idx
+            tgroups.append((toff, Bh, X))
+            trows.append(arr)
+            toff += Bh
+        tg_rows = np.concatenate(trows) if trows else np.zeros(0, _I32)
+
+        return (
+            tuple(dgroups),
+            tuple(tgroups),
+            seg_mat,
+            seg_qw,
+            seg_row,
+            rows_tab,
+            tg_rows,
+            P,
+            B,
+        )
 
     def run(self, queries, k=10, with_scores=True, ranked=True):
-        prepped = self._prep(queries, ranked)
-        outs = []
+        terms_all, qw_all, counts_all = self._prep(queries, ranked)
         # split into sub-batches only if the postings budget is exceeded
-        lens = [
-            sum(int(self.dindex.list_n[t]) for t in terms) for terms, _ in prepped
-        ]
-        cur, cur_p = [], 0
+        span_n = self.dindex.list_n[terms_all].astype(np.int64) if len(terms_all) else np.zeros(0)
+        qend = np.cumsum(counts_all)
+        qstart = qend - counts_all
+        if len(terms_all):
+            safe_qstart = np.minimum(qstart, len(terms_all) - 1)
+            qpost = np.add.reduceat(span_n, safe_qstart)
+            qpost = np.where(counts_all > 0, qpost, 0)
+        else:
+            qpost = np.zeros(len(counts_all), dtype=np.int64)
+
         parts = []
-        for qi, pl in enumerate(lens):
+        cur, cur_p = [], 0
+        for qi in range(len(queries)):
+            pl = int(qpost[qi])
             if cur and cur_p + pl > self.max_postings:
                 parts.append(cur)
                 cur, cur_p = [], 0
@@ -346,24 +349,25 @@ class FlatQueryEngine:
         if cur:
             parts.append(cur)
 
-        results = [None] * len(prepped)
+        results = [None] * len(queries)
         pending = []
         for part in parts:
-            sub = [prepped[j] for j in part]
-            batches, row_start, row_len, target, P, B, used = self._build_batch(sub)
-            dgroups, dpacks, fpacks, seg_rows, seg_qw = self._group_and_pack(batches, P, B)
-            tgroups, tg_rows = self._topk_groups(row_len, B)
+            sel = np.concatenate([np.arange(qstart[j], qend[j]) for j in part]) if part else np.zeros(0, np.int64)
+            sel = sel.astype(np.int64)
+            terms = terms_all[sel]
+            qw = qw_all[sel]
+            counts = counts_all[part]
+            dgroups, tgroups, seg_mat, seg_qw, seg_row, rows_tab, tg_rows, P, B = self._build_batch(
+                terms, qw, counts
+            )
             out = _flat_step(
                 self.dindex.docs_words,
                 self.dindex.freqs_words,
-                dpacks,
-                fpacks,
-                seg_rows,
-                seg_qw,
-                jnp.asarray(row_start),
-                jnp.asarray(row_len),
-                jnp.asarray(target),
-                tg_rows,
+                jnp.asarray(seg_mat),
+                jnp.asarray(seg_qw),
+                jnp.asarray(seg_row),
+                jnp.asarray(rows_tab),
+                jnp.asarray(tg_rows),
                 self.norm_lens,
                 dgroups=dgroups,
                 tgroups=tgroups,

@@ -253,9 +253,10 @@ class BlockFreqIndex:
         return int(self.endpoints()[i])
 
     def decode_list(self, i):
+        docs, freqs = BlockPostingList.decode_list(self.lists, self.get_offset(i), self.codec)
         if self.profiler is not None:
-            self.profiler.count_list(i, self.codec)
-        return BlockPostingList.decode_list(self.lists, self.get_offset(i), self.codec)
+            self.profiler.count_list(i, self.codec, n=len(docs))
+        return docs, freqs
 
     def list_length(self, i):
         vals, _ = TightVariableByte.decode(self.lists, self.get_offset(i), 1)
