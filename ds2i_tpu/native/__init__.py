@@ -1,0 +1,60 @@
+"""ctypes bindings for the native construction kernels.
+
+Loads libds2i_native.so if present (build with `python ds2i_tpu/native/
+build.py`); falls back to pure-Python implementations transparently.
+"""
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "libds2i_native.so")
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.ds2i_optimal_partition.restype = ctypes.c_long
+        lib.ds2i_optimal_partition.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_uint64, ctypes.c_int,
+            ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint64,
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available():
+    return _load() is not None
+
+
+def optimal_partition_native(values, universe, n, params, eps1, eps2, fix_cost, cost_kind=0):
+    """Native DP; returns partition endpoint list or None if unavailable.
+    cost_kind: 0 = indexed_sequence base, 1 = strict_sequence base."""
+    lib = _load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(values, dtype=np.uint32)
+    out = np.zeros(int(n) + 1, dtype=np.uint32)
+    res = lib.ds2i_optimal_partition(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        int(n), int(universe), float(eps1), float(eps2), int(fix_cost), int(cost_kind),
+        int(params.ef_log_sampling0), int(params.ef_log_sampling1),
+        int(params.rb_log_rank1_sampling), int(params.rb_log_sampling1),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(out),
+    )
+    if res < 0:
+        return None
+    return [int(x) for x in out[:res]]

@@ -264,9 +264,22 @@ class _PartitionedBase:
 
 
 class PartitionedSequence(_PartitionedBase):
+    _native_cost_kind = 0  # indexed_sequence cost
+
     @classmethod
     def _partition_points(cls, values, universe, n, params):
         conf = Configuration.get()
+
+        # native DP fast path (identical output; tests/test_native.py)
+        from ..native import optimal_partition_native
+
+        if universe < 2**32 and n < 2**32:
+            part = optimal_partition_native(
+                values, universe, n, params, conf.eps1, conf.eps2, conf.fix_cost,
+                cost_kind=cls._native_cost_kind,
+            )
+            if part is not None:
+                return part
 
         def cost_fun(u, nn):
             return cls.base_sequence_type.bitsize(params, u, nn) + conf.fix_cost
@@ -313,6 +326,7 @@ class PartitionedSequenceStrict(PartitionedSequence):
     """partitioned_sequence<strict_sequence> — used for `opt` freq streams."""
 
     base_sequence_type = StrictSequence
+    _native_cost_kind = 1  # strict_sequence cost
 
 
 class UniformPartitionedSequenceStrict(UniformPartitionedSequence):

@@ -1,0 +1,59 @@
+"""Native (C++) construction kernels must agree exactly with the Python
+reference implementations."""
+
+import numpy as np
+import pytest
+
+from ds2i_tpu import GlobalParameters
+from ds2i_tpu.native import available, optimal_partition_native
+from ds2i_tpu.sequences import IndexedSequence, StrictSequence, optimal_partition
+from ds2i_tpu.sequences.selectors import strict_params
+
+
+def _require_native():
+    if not available():
+        import subprocess
+        import sys
+
+        from ds2i_tpu.native import build as _b  # noqa
+
+        subprocess.check_call([sys.executable, "ds2i_tpu/native/build.py"])
+        import ds2i_tpu.native as native
+
+        native._TRIED = False
+        assert native.available(), "native build failed"
+
+
+@pytest.mark.parametrize("cost_kind", [0, 1])
+def test_native_partition_matches_python(cost_kind):
+    _require_native()
+    params = GlobalParameters()
+    rng = np.random.RandomState(99)
+    base_cls = IndexedSequence if cost_kind == 0 else StrictSequence
+    for trial in range(6):
+        n = int(rng.randint(50, 4000))
+        universe = int(n * rng.uniform(1.05, 20)) + 2
+        values = np.sort(rng.choice(universe - 1, size=n, replace=False)).astype(np.uint64)
+
+        def cost_fun(u, m):
+            return base_cls.bitsize(params, u, m) + 64
+
+        expect = optimal_partition(values, universe, n, cost_fun, 0.03, 0.3).partition
+        got = optimal_partition_native(values, universe, n, params, 0.03, 0.3, 64, cost_kind)
+        assert got == expect, f"trial {trial}: {got[:5]}... vs {expect[:5]}..."
+
+
+def test_native_used_by_partitioned_write(tmp_path):
+    _require_native()
+    from ds2i_tpu.bitvec import BitVectorBuilder
+    from ds2i_tpu.sequences import PartitionedSequence
+
+    params = GlobalParameters()
+    rng = np.random.RandomState(5)
+    values = np.sort(rng.choice(50_000, size=3000, replace=False)).astype(np.uint64)
+    b = BitVectorBuilder()
+    PartitionedSequence.write(b, values, 50_000, 3000, params)
+    bv = b.build()
+    np.testing.assert_array_equal(
+        PartitionedSequence.decode(bv, 0, 50_000, 3000, params), values
+    )
