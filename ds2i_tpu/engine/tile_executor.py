@@ -77,15 +77,19 @@ def _decode_group(words, fields, W, WL):
         axis=1, dtype=jnp.int32
     )  # (R, TILE)
 
-    # low bits
+    # low bits: in-row word selection by comparison-reduce (faster than
+    # take_along_axis row gathers on TPU)
     l = fields[:, F_LOWER_BITS][:, None]  # (R, 1)
     lbw_idx = fields[:, F_LB_WORD0][:, None] + jnp.arange(WL + 1, dtype=jnp.int32)[None, :]
     lbw = words[jnp.clip(lbw_idx, 0, words.shape[0] - 1)]  # (R, WL+1)
     bit_off = fields[:, F_LB_BITOFF][:, None] + j * l  # (R, TILE)
-    w0i = bit_off >> 5
+    w0i = jnp.clip(bit_off >> 5, 0, WL)
     s = (bit_off & 31).astype(jnp.uint32)
-    w0 = jnp.take_along_axis(lbw, jnp.clip(w0i, 0, WL), axis=1)
-    w1 = jnp.take_along_axis(lbw, jnp.clip(w0i + 1, 0, WL), axis=1)
+    widx_range = jnp.arange(WL + 1, dtype=jnp.int32)[None, None, :]
+    sel0 = w0i[:, :, None] == widx_range  # (R, TILE, WL+1)
+    w0 = jnp.where(sel0, lbw[:, None, :], jnp.uint32(0)).sum(axis=2, dtype=jnp.uint32)
+    sel1 = (w0i + 1)[:, :, None] == widx_range
+    w1 = jnp.where(sel1, lbw[:, None, :], jnp.uint32(0)).sum(axis=2, dtype=jnp.uint32)
     low = (w0 >> s) | jnp.where(s > 0, w1 << (jnp.uint32(32) - s), jnp.uint32(0))
     lmask = jnp.where(l >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << l.astype(jnp.uint32)) - jnp.uint32(1))
     low = (low & lmask).astype(jnp.int32)
@@ -266,11 +270,12 @@ class TileQueryEngine:
         Tn = _pow2_at_least(max(total_tiles, 1), lo=2)
         P = Tn * TILE
 
-        # group tiles by pow2 window buckets
+        # group tiles by pow4 window buckets (few groups -> big fused ops;
+        # up to 4x padded decode work is cheaper than fragmented dispatch)
         ww = np.maximum(t.win_words[tidx], 1)
         wl = np.maximum(t.lb_words[tidx], 1)
-        wb = 1 << np.ceil(np.log2(ww)).astype(np.int64)
-        lb = 1 << np.ceil(np.log2(np.maximum(wl, 4))).astype(np.int64)
+        wb = 1 << (2 * np.ceil(np.log2(np.maximum(ww, 4)) / 2).astype(np.int64))
+        lb = 1 << (2 * np.ceil(np.log2(np.maximum(wl, 4)) / 2).astype(np.int64))
         bkey = wb * 1024 + lb
         order = np.argsort(bkey, kind="stable")
 
@@ -290,7 +295,7 @@ class TileQueryEngine:
             sel = order[lo_i:hi_i]
             W = int(wb[sel[0]])
             WL = int(lb[sel[0]])
-            R = _pow2_at_least(hi_i - lo_i + 1, lo=8)  # always >=1 padding row
+            R = _pow2_at_least(hi_i - lo_i + 1, lo=64)  # always >=1 padding row
             if off + R > len(gfields):
                 grown = np.zeros((_pow2_at_least(off + R, lo=8), 2 * N_FIELDS), dtype=_I32)
                 grown[:, F_KIND] = -1
