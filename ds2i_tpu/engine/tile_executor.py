@@ -52,30 +52,57 @@ def _pow2_at_least(x, lo=1):
     return v
 
 
+def _masked_lowbits(hi):
+    """(1 << hi) - 1 for hi in [0, 32], uint32-safe."""
+    h = jnp.clip(hi, 0, 32).astype(jnp.uint32)
+    return jnp.where(h >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << (h & jnp.uint32(31))) - jnp.uint32(1))
+
+
 def _decode_group(words, fields, W, WL):
     """Decode one group of tiles: fields (R, N_FIELDS) -> (R, TILE) int32
-    values (pads undefined, masked by caller)."""
+    values (pads undefined, masked by caller).
+
+    Select = popcount hierarchy, entirely via masked comparison-reduces
+    (no bit expansion, no gathers): per-word population counts locate the
+    word holding the (j+1)-th one; a branchless 5-step binary search over
+    popcount masks finds the bit. Replaces the reference's sequential
+    broadword unary skips (succinct unary_enumerator) with ~W*TILE VPU
+    lanes per tile."""
     R = fields.shape[0]
     kind = fields[:, F_KIND]
     j = jnp.arange(TILE, dtype=jnp.int32)[None, :]
 
-    # select window
+    # select window: W words masked to [win_bitoff, win_bitoff + win_len)
     widx = fields[:, F_WIN_WORD0][:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-    wv = words[jnp.clip(widx, 0, words.shape[0] - 1)]  # (R, W)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = ((wv[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)).astype(jnp.int8)
-    bits = bits.reshape(R, W * 32)
-    rel = jnp.arange(W * 32, dtype=jnp.int32)[None, :] - fields[:, F_WIN_BITOFF][:, None]
-    valid_bit = (rel >= 0) & (rel < fields[:, F_WIN_LEN][:, None])
-    bits = jnp.where(valid_bit, bits, 0)
-    rank = jnp.cumsum(bits.astype(jnp.int32), axis=1)  # (R, Wb)
+    wv = words[jnp.clip(widx, 0, words.shape[0] - 1)]  # (R, W) uint32
+    wbit0 = jnp.arange(W, dtype=jnp.int32)[None, :] * 32
+    lo = fields[:, F_WIN_BITOFF][:, None] - wbit0
+    hi = fields[:, F_WIN_BITOFF][:, None] + fields[:, F_WIN_LEN][:, None] - wbit0
+    wv = wv & (_masked_lowbits(hi) & ~_masked_lowbits(lo))
 
-    # comparison-reduce select: sel[r, j] = #window positions with rank <= j
-    # (window positions before the (j+1)-th one), computed in TILE-sized
-    # column chunks to bound the (R, Wb, TILE) intermediate
-    sel = (valid_bit[:, :, None] & (rank[:, :, None] <= j[:, None, :].reshape(1, 1, TILE))).sum(
-        axis=1, dtype=jnp.int32
-    )  # (R, TILE)
+    pc = jax.lax.population_count(wv).astype(jnp.int32)
+    cum = jnp.cumsum(pc, axis=1)  # (R, W) inclusive
+    # word holding the (j+1)-th one, its preceding rank, and its value —
+    # all via (R, W, TILE) masked reduces
+    le = cum[:, :, None] <= j[:, None, :]
+    word_idx = le.sum(axis=1, dtype=jnp.int32)  # (R, TILE)
+    widx_c = jnp.clip(word_idx, 0, W - 1)
+    eq_prev = jnp.arange(W, dtype=jnp.int32)[None, :, None] == (word_idx - 1)[:, None, :]
+    rank_before = jnp.where(eq_prev, cum[:, :, None], 0).sum(axis=1, dtype=jnp.int32)
+    eq_cur = jnp.arange(W, dtype=jnp.int32)[None, :, None] == widx_c[:, None, :]
+    target_word = jnp.where(eq_cur, wv[:, :, None], jnp.uint32(0)).sum(axis=1, dtype=jnp.uint32)
+
+    # branchless in-word select of the (rem+1)-th set bit
+    rem = j - rank_before
+    pos = jnp.zeros((R, TILE), dtype=jnp.int32)
+    for width in (16, 8, 4, 2, 1):
+        mask = _masked_lowbits(jnp.full((R, TILE), width, jnp.int32)) << pos.astype(jnp.uint32)
+        c = jax.lax.population_count(target_word & mask).astype(jnp.int32)
+        right = rem >= c
+        rem = rem - jnp.where(right, c, 0)
+        pos = pos + jnp.where(right, width, 0)
+
+    sel = widx_c * 32 + pos - fields[:, F_WIN_BITOFF][:, None]  # rel to window start
 
     # low bits: in-row word selection by comparison-reduce (faster than
     # take_along_axis row gathers on TPU)
@@ -105,7 +132,7 @@ def _decode_group(words, fields, W, WL):
     return val + base
 
 
-@partial(jax.jit, static_argnames=("groups", "P", "B", "Dp", "k", "ops"))
+@partial(jax.jit, static_argnames=("groups", "P", "B", "Dp", "k", "ops", "tmax"))
 def _tile_step(
     docs_words,
     freqs_words,
@@ -120,6 +147,7 @@ def _tile_step(
     norm_lens,  # f32[num_docs]
     groups,  # tuple of (offset, R, W, WL)
     P, B, Dp, k, ops,  # ops: subset of ("counts","or","and")
+    tmax=8,  # max terms per query in this batch (bounds run lengths)
 ):
     num_docs = Dp - 1
     T = P // TILE
@@ -168,16 +196,20 @@ def _tile_step(
     one = real.astype(jnp.int32)
     skey, scontrib, sone, stgt = jax.lax.sort([key, contrib, one, tgtv], num_keys=1)
 
-    csum = jnp.cumsum(scontrib)
-    ccnt = jnp.cumsum(sone)
     nxt = jnp.concatenate([skey[1:], jnp.full(1, -1, jnp.int32)])
     last = skey != nxt
-    prv = jnp.concatenate([jnp.full(1, -1, jnp.int32), skey[:-1]])
-    first_run = skey != prv
-    base_s = jax.lax.cummax(jnp.where(first_run, csum - scontrib, NEG_INF))
-    base_c = jax.lax.cummax(jnp.where(first_run, ccnt - sone, -1))
-    run_score = (csum - base_s).astype(jnp.float32)
-    run_cnt = ccnt - base_c
+    # runs of equal (row, doc) keys are at most `tmax` long (one posting per
+    # term); accumulate run sums with tmax-1 shifted adds — no scans needed
+    run_score = scontrib
+    run_cnt = sone
+    match = jnp.ones(P, dtype=bool)
+    for m in range(1, tmax):
+        keym = jnp.concatenate([jnp.full(m, -2, jnp.int32), skey[:-m]])
+        match = match & (skey == keym)
+        cm = jnp.concatenate([jnp.zeros(m, jnp.float32), scontrib[:-m]])
+        om = jnp.concatenate([jnp.zeros(m, jnp.int32), sone[:-m]])
+        run_score = run_score + jnp.where(match, cm, 0.0)
+        run_cnt = run_cnt + jnp.where(match, om, 0)
 
     srow = skey // Dp
     sdoc = skey - srow * Dp
@@ -396,6 +428,7 @@ class TileQueryEngine:
                 Dp=self.Dp,
                 k=k,
                 ops=tuple(ops),
+                tmax=_pow2_at_least(int(counts_all[part].max()) if len(part) else 1, lo=4),
             )
             pending.append((part, out))
         for part, out in pending:
