@@ -1,0 +1,440 @@
+"""Resident-table batched query engine: decode-unique + block-gather +
+row-sort join.
+
+The fast path for TPU query processing. Everything static lives in HBM
+from engine init — the compressed bit words AND the per-tile decode
+metadata (the resident tables). A query batch then uploads only
+~50-100 bytes per query and downloads only results, which matters both
+on real hardware (PCIe) and through a device tunnel.
+
+One jit dispatch per part:
+
+  1. gather tile field rows from the resident tables by uploaded tile id
+  2. per (window, low-bits) pow4 bucket: comparison-reduce select decode
+     of each UNIQUE tile exactly once per part — queries sharing a term
+     share the decode (the reference decodes per query cursor,
+     block_posting_list.hpp; batching makes dedup free)
+  3. tile-local freq reconstruction: the F_PREV_CUM table field carries
+     the prefix-sum value preceding the tile, so cum-diff needs no
+     cross-tile adjacency and no flat-order permute
+  4. per-posting BM25 doc-term partial weights (query-independent)
+  5. 32-slot blocks: each query row gathers its terms' blocks by block
+     index — replication across queries is a contiguous row gather
+  6. per length-bucket (B, L) layout: ONE stable row sort [doc, contrib]
+     joins each query's postings (replaces the cursor leapfrog of
+     queries.hpp and_query:59-82 / wand_query with a branch-free join;
+     row sorts are ~5x cheaper than one global posting sort)
+  7. bounded-run aggregation by shifted adds (runs are <= terms-per-query
+     long), AND/OR counts by row reduction, top-k via lax.top_k per row
+
+Semantics match the oracle layer exactly: same doc sets and counts,
+f32 scores accumulated in query term order.
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..queries.bm25 import BM25
+from ..queries.parsing import query_freqs
+from .tile_executor import _decode_group
+from .tiles import F_NVALS, F_PREV_CUM, N_FIELDS, TILE, build_tile_tables
+
+_F32 = np.float32
+_I32 = np.int32
+BLOCK = 32
+BPT = TILE // BLOCK  # blocks per tile
+NEG_INF = float("-inf")
+
+
+def _pow2_at_least(x, lo=1):
+    v = lo
+    while v < int(x):
+        v *= 2
+    return v
+
+
+@partial(
+    jax.jit,
+    static_argnames=("groups", "buckets", "num_docs", "k", "ops", "tmax"),
+)
+def _resident_step(
+    docs_words,
+    freqs_words,
+    tiles_docs,  # RESIDENT (Nt+1, N_FIELDS) i32; last row is the pad tile
+    tiles_freqs,
+    norm_lens,  # RESIDENT f32[num_docs]
+    gtile_ids,  # i32[Rtot] group-major tile ids (pads -> Nt)
+    bucket_blkidx,  # tuple of i32[Bb, L/32] global block ids
+    bucket_qw,  # tuple of f32[Bb, L/32]
+    bucket_tgt,  # tuple of i32[Bb]
+    groups,  # tuple of (off, R, W, WL)
+    buckets,  # tuple of (Bb, L)
+    num_docs,
+    k,
+    ops,
+    tmax,
+):
+    j = jnp.arange(TILE, dtype=jnp.int32)[None, :]
+
+    docs_blocks, w_blocks = [], []
+    for off, R, W, WL in groups:
+        ids = gtile_ids[off : off + R]
+        df = tiles_docs[ids]
+        ff = tiles_freqs[ids]
+        dv = _decode_group(docs_words, df, W, WL)  # (R, TILE)
+        fv = _decode_group(freqs_words, ff, W, WL)
+        valid = j < df[:, F_NVALS][:, None]
+        doc = jnp.where(valid, dv, num_docs)
+        prev = jnp.concatenate([ff[:, F_PREV_CUM][:, None], fv[:, :-1]], axis=1)
+        freq = jnp.where(valid, fv - prev, 0).astype(jnp.float32)
+        if ("or" in ops) or ("and" in ops):
+            nl = norm_lens[jnp.clip(doc, 0, num_docs - 1)]
+            k1, b = jnp.float32(BM25.k1), jnp.float32(BM25.b)
+            w = freq / (freq + k1 * (jnp.float32(1.0) - b + b * nl))
+        else:
+            w = jnp.where(valid, 1.0, 0.0)
+        docs_blocks.append(doc.reshape(R * BPT, BLOCK))
+        w_blocks.append(w.reshape(R * BPT, BLOCK))
+
+    docs32 = jnp.concatenate(docs_blocks, axis=0)
+    w32 = jnp.concatenate(w_blocks, axis=0)
+
+    out = []
+    for bi, (Bb, L) in enumerate(buckets):
+        blkidx = bucket_blkidx[bi]
+        d = jnp.take(docs32, blkidx, axis=0).reshape(Bb, L)
+        c = (jnp.take(w32, blkidx, axis=0) * bucket_qw[bi][:, :, None]).reshape(Bb, L)
+        sd, sc = jax.lax.sort([d, c], dimension=1, num_keys=1, is_stable=True)
+
+        real = sd < num_docs
+        nxt = jnp.concatenate([sd[:, 1:], jnp.full((Bb, 1), -1, jnp.int32)], axis=1)
+        last = sd != nxt
+        run_score = sc
+        run_cnt = real.astype(jnp.int32)
+        match = jnp.ones((Bb, L), dtype=bool)
+        for m in range(1, tmax):
+            keym = jnp.concatenate([jnp.full((Bb, m), -2, jnp.int32), sd[:, :-m]], axis=1)
+            match = match & (sd == keym)
+            cm = jnp.concatenate([jnp.zeros((Bb, m), jnp.float32), sc[:, :-m]], axis=1)
+            om = jnp.concatenate(
+                [jnp.zeros((Bb, m), jnp.int32), real[:, :-m].astype(jnp.int32)], axis=1
+            )
+            run_score = run_score + jnp.where(match, cm, 0.0)
+            run_cnt = run_cnt + jnp.where(match, om, 0)
+
+        last_real = last & real
+        tgt = bucket_tgt[bi][:, None]
+        and_flag = last_real & (run_cnt == tgt) & (tgt > 0)
+
+        and_counts = and_flag.sum(axis=1, dtype=jnp.int32)
+        or_counts = last_real.sum(axis=1, dtype=jnp.int32)
+        res = [and_counts, or_counts]
+        for op, flag in (("or", last_real), ("and", and_flag)):
+            if op in ops:
+                res.append(jax.lax.top_k(jnp.where(flag, run_score, NEG_INF), k)[0])
+            else:
+                res.append(jnp.full((Bb, k), NEG_INF, jnp.float32))
+        out.append(tuple(res))
+    return tuple(out)
+
+
+class ResidentEngine:
+    """Resident-table engine; minimal per-batch transfer, one dispatch per
+    part, decode shared across queries."""
+
+    MIN_L = 64
+
+    def __init__(self, index, wdata=None, scorer=BM25, max_part_slots=1 << 21,
+                 max_part_queries=16384):
+        self.index = index
+        self.num_docs = index.num_docs()
+        self.scorer = scorer
+        self.max_part_slots = max_part_slots
+        self.max_part_queries = max_part_queries
+
+        self.norm_lens = (
+            jnp.asarray(wdata.norm_lens) if wdata is not None else jnp.ones(self.num_docs, jnp.float32)
+        )
+        self.docs_words = jnp.asarray(index.docs_sequences.bits_bv.words.view(np.uint32))
+        self.freqs_words = jnp.asarray(index.freqs_sequences.bits_bv.words.view(np.uint32))
+
+        t = build_tile_tables(index)
+        self.tiles = t
+        nt = len(t.tile_list)
+        num_lists = index.size()
+
+        # resident field tables, one trailing pad row (kind=-1, n_vals=0)
+        def with_pad(a):
+            out = np.zeros((nt + 1, N_FIELDS), dtype=_I32)
+            out[:nt] = a
+            out[nt, 0] = -1
+            return jnp.asarray(out)
+
+        self.tiles_docs = with_pad(t.docs)
+        self.tiles_freqs = with_pad(t.freqs)
+        self.pad_tile = nt
+
+        # host-side layout tables
+        self.list_tile_start = t.list_tile_start
+        self.list_tiles = np.diff(t.list_tile_start)
+        nvals = t.docs[:, F_NVALS].astype(np.int64)
+        self.tile_blocks = (nvals + BLOCK - 1) // BLOCK  # blocks per tile
+        self.list_n = np.zeros(num_lists, dtype=np.int64)
+        np.add.at(self.list_n, t.tile_list, nvals)
+        self.list_blocks = np.zeros(num_lists, dtype=np.int64)
+        np.add.at(self.list_blocks, t.tile_list, self.tile_blocks)
+        # pow4 decode buckets per tile (same policy as tile_executor)
+        ww = np.maximum(t.win_words, 1)
+        wl = np.maximum(t.lb_words, 1)
+        wb = 1 << (2 * np.ceil(np.log2(np.maximum(ww, 4)) / 2).astype(np.int64))
+        lb = 1 << (2 * np.ceil(np.log2(np.maximum(wl, 4)) / 2).astype(np.int64))
+        self.tile_bkey = wb * 1024 + lb
+        self.tile_wb = wb
+        self.tile_lb = lb
+
+    # -- host batch layout ----------------------------------------------------
+
+    def _prep_terms(self, queries, ranked):
+        tf = [query_freqs(t) for t in queries]
+        counts = np.array([len(x) for x in tf], dtype=np.int64)
+        terms = np.array([t for q in tf for t, _ in q], dtype=np.int64)
+        qmult = np.array([m for q in tf for _, m in q], dtype=np.int64)
+        if ranked and len(terms):
+            dfs = self.list_n[terms].astype(_F32)
+            N = _F32(self.num_docs)
+            idf = np.log((N - dfs + _F32(0.5)) / (dfs + _F32(0.5))).astype(_F32)
+            qw = qmult.astype(_F32) * np.maximum(_F32(1e-6), idf) * (_F32(1.0) + BM25.k1)
+        else:
+            qw = np.ones(len(terms), dtype=_F32)
+        return terms, qw, counts
+
+    def _part_plan(self, terms, qw, counts, k, ops, tmax, qids):
+        """Layout for one part: group-major unique-tile ids + per-bucket
+        block directories. All numpy, no device work."""
+        B = len(counts)
+
+        uterms, uinv = (
+            np.unique(terms, return_inverse=True) if len(terms) else
+            (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        )
+
+        # --- unique-term tile expansion (CSR)
+        tstarts = self.list_tile_start[uterms]
+        tcounts = self.list_tiles[uterms]
+        ntiles = int(tcounts.sum())
+        if ntiles:
+            excl = np.cumsum(tcounts) - tcounts
+            utidx = np.repeat(tstarts - excl, tcounts) + np.arange(ntiles, dtype=np.int64)
+        else:
+            utidx = np.zeros(0, dtype=np.int64)
+
+        # --- group by pow4 decode bucket, group-major row ids
+        bkey = self.tile_bkey[utidx] if ntiles else np.zeros(0, np.int64)
+        order = np.argsort(bkey, kind="stable")
+        sk = bkey[order]
+        bnd = (np.nonzero(np.diff(sk))[0] + 1) if ntiles else np.zeros(0, np.int64)
+        gstarts = np.concatenate([[0], bnd, [ntiles]]).astype(np.int64)
+
+        groups = []
+        grow = np.zeros(ntiles, dtype=np.int64)  # group-major row of each utile
+        gids_parts = []
+        off = 0
+        ngroups = len(gstarts) - 1
+        for gi in range(ngroups):
+            lo_i, hi_i = int(gstarts[gi]), int(gstarts[gi + 1])
+            if hi_i <= lo_i:
+                continue
+            sel = order[lo_i:hi_i]
+            cnt = hi_i - lo_i
+            # last group gets one guaranteed pad row (the sentinel block)
+            R = _pow2_at_least(cnt + (1 if gi == ngroups - 1 else 0), lo=8)
+            ids = np.full(R, self.pad_tile, dtype=_I32)
+            ids[:cnt] = utidx[sel]
+            grow[sel] = off + np.arange(cnt)
+            groups.append((off, R, int(self.tile_wb[utidx[sel[0]]]), int(self.tile_lb[utidx[sel[0]]])))
+            gids_parts.append(ids)
+            off += R
+        if not groups:
+            groups = [(0, 8, 4, 4)]
+            gids_parts = [np.full(8, self.pad_tile, dtype=_I32)]
+            off = 8
+        gtile_ids = np.concatenate(gids_parts)
+        # sentinel block: first pad row of the last group
+        last_off, last_R, _, _ = groups[-1]
+        n_last = int(np.sum(gtile_ids[last_off : last_off + last_R] != self.pad_tile))
+        sent_blk = (last_off + n_last) * BPT
+
+        # --- per-unique-term block lists (group-major block ids, tile order)
+        nbt = self.tile_blocks[utidx]  # blocks of each utile
+        tot_blk = int(nbt.sum())
+        if tot_blk:
+            bexcl = np.cumsum(nbt) - nbt
+            # block b of utile i -> grow[i]*BPT + b
+            ublocks = (
+                np.repeat(grow * BPT - bexcl, nbt) + np.arange(tot_blk, dtype=np.int64)
+            )
+        else:
+            ublocks = np.zeros(0, dtype=np.int64)
+        # CSR over unique terms (utidx is unique-major, so ublocks is too)
+        unb = self.list_blocks[uterms]
+        ustart = np.concatenate([[0], np.cumsum(unb)])
+
+        # --- per-query block directory
+        span_nb = unb[uinv] if len(terms) else np.zeros(0, np.int64)
+        row_nb = np.zeros(B, dtype=np.int64)
+        span_row = np.repeat(np.arange(B), counts)
+        np.add.at(row_nb, span_row, span_nb)
+        min_l = max(self.MIN_L, _pow2_at_least(k))
+        Lrow = np.maximum(row_nb * BLOCK, 1)
+        Lb = (2 ** np.ceil(np.log2(np.maximum(Lrow, min_l)))).astype(np.int64)
+
+        # expand each span's blocks, query-major
+        tot = int(span_nb.sum())
+        if tot:
+            sexcl = np.cumsum(span_nb) - span_nb
+            span_of_blk = np.repeat(np.arange(len(span_nb)), span_nb)
+            blk_flat = ublocks[
+                np.repeat(ustart[uinv] - sexcl, span_nb) + np.arange(tot, dtype=np.int64)
+            ]
+            qw_flat = qw[span_of_blk]
+            row_of_blk = span_row[span_of_blk]
+            # column of each block within its row
+            rexcl = np.zeros(B + 1, dtype=np.int64)
+            rexcl[1:] = np.cumsum(row_nb)
+            col_of_blk = np.arange(tot, dtype=np.int64) - rexcl[row_of_blk]
+        else:
+            blk_flat = qw_flat = row_of_blk = col_of_blk = np.zeros(0, np.int64)
+
+        # --- bucket the queries by Lb
+        plan_buckets = []
+        ubl = np.unique(Lb)
+        bucket_of_row = np.zeros(B, dtype=np.int64)
+        row_in_bucket = np.zeros(B, dtype=np.int64)
+        for bi, L in enumerate(ubl):
+            rows = np.nonzero(Lb == L)[0]
+            bucket_of_row[rows] = bi
+            row_in_bucket[rows] = np.arange(len(rows))
+            Bb = _pow2_at_least(len(rows), lo=1)
+            blkidx = np.full((Bb, int(L) // BLOCK), sent_blk, dtype=_I32)
+            qwb = np.zeros((Bb, int(L) // BLOCK), dtype=_F32)
+            tgt = np.zeros(Bb, dtype=_I32)
+            tgt[: len(rows)] = counts[rows]
+            plan_buckets.append(
+                {"L": int(L), "Bb": Bb, "rows": qids[rows], "blkidx": blkidx, "qw": qwb, "tgt": tgt}
+            )
+        if tot:
+            b_of = bucket_of_row[row_of_blk]
+            r_of = row_in_bucket[row_of_blk]
+            for bi, pb in enumerate(plan_buckets):
+                m = b_of == bi
+                pb["blkidx"][r_of[m], col_of_blk[m]] = blk_flat[m]
+                pb["qw"][r_of[m], col_of_blk[m]] = qw_flat[m]
+
+        return {
+            "gtile_ids": gtile_ids,
+            "groups": tuple(groups),
+            "buckets": plan_buckets,
+            "k": k,
+            "ops": ops,
+            "tmax": tmax,
+        }
+
+    def prepare(self, queries, k=10, ops=("or", "and"), ranked=True):
+        """Parse + lay out the batch (host only). The returned plan is the
+        analogue of queries.cpp's pre-parsed query vector."""
+        terms, qw, counts = self._prep_terms(queries, ranked)
+        qend = np.cumsum(counts)
+        qstart = qend - counts
+        tmax = _pow2_at_least(int(counts.max()) if len(counts) else 1, lo=2)
+
+        # part splitting by bucketed slot budget
+        qslots = np.zeros(len(queries), dtype=np.int64)
+        if len(terms):
+            nb = self.list_blocks[terms]
+            np.add.at(qslots, np.repeat(np.arange(len(queries)), counts), nb * BLOCK)
+        qslots = np.maximum(2 ** np.ceil(np.log2(np.maximum(qslots, self.MIN_L))).astype(np.int64), self.MIN_L)
+
+        parts = []
+        cur0, cur_slots = 0, 0
+        for qi in range(len(queries)):
+            if qi > cur0 and (
+                cur_slots + qslots[qi] > self.max_part_slots
+                or qi - cur0 >= self.max_part_queries
+            ):
+                parts.append((cur0, qi))
+                cur0, cur_slots = qi, 0
+            cur_slots += qslots[qi]
+        parts.append((cur0, len(queries)))
+
+        plans = []
+        for q0, q1 in parts:
+            if q1 <= q0:
+                continue
+            s0, s1 = qstart[q0], qend[q1 - 1]
+            plans.append(
+                self._part_plan(
+                    terms[s0:s1], qw[s0:s1], counts[q0:q1], k, tuple(ops), tmax,
+                    qids=np.arange(q0, q1),
+                )
+            )
+        return {"plans": plans, "n": len(queries), "k": k, "ops": tuple(ops)}
+
+    def execute(self, plan):
+        """Upload per-part layouts, dispatch, download results. One device
+        round trip per part, pipelined."""
+        pending = []
+        for p in plan["plans"]:
+            bb = p["buckets"]
+            out = _resident_step(
+                self.docs_words,
+                self.freqs_words,
+                self.tiles_docs,
+                self.tiles_freqs,
+                self.norm_lens,
+                jnp.asarray(p["gtile_ids"]),
+                tuple(jnp.asarray(b["blkidx"]) for b in bb),
+                tuple(jnp.asarray(b["qw"]) for b in bb),
+                tuple(jnp.asarray(b["tgt"]) for b in bb),
+                groups=p["groups"],
+                buckets=tuple((b["Bb"], b["L"]) for b in bb),
+                num_docs=self.num_docs,
+                k=p["k"],
+                ops=p["ops"],
+                tmax=p["tmax"],
+            )
+            pending.append((p, out))
+
+        results = [None] * plan["n"]
+        for p, out in pending:
+            for b, res in zip(p["buckets"], out):
+                arrs = [np.asarray(r) for r in res]
+                for local, qi in enumerate(b["rows"]):
+                    results[qi] = tuple(a[local] for a in arrs)
+        return results
+
+    def run(self, queries, k=10, ops=("or", "and"), ranked=True):
+        return self.execute(self.prepare(queries, k=k, ops=ops, ranked=ranked))
+
+    # -- public ops (API-compatible with TileQueryEngine) ----------------------
+
+    def and_counts(self, queries):
+        return np.array([r[0] for r in self.run(queries, ops=("counts",), ranked=False)])
+
+    def or_counts(self, queries):
+        return np.array([r[1] for r in self.run(queries, ops=("counts",), ranked=False)])
+
+    def _topk_list(self, r):
+        return [float(s) for s in r[np.isfinite(r)]]
+
+    def ranked_or(self, queries, k=10):
+        return [self._topk_list(r[2]) for r in self.run(queries, k=k, ops=("or",))]
+
+    def ranked_and(self, queries, k=10):
+        return [self._topk_list(r[3]) for r in self.run(queries, k=k, ops=("and",))]
+
+    wand = ranked_or
+    maxscore = ranked_or

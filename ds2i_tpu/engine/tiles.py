@@ -31,9 +31,9 @@ import numpy as np
 from ..ops.segments import SEG_AO, SEG_EF, SEG_EF_STRICT, SEG_RB, SegmentTable, sequence_segments
 
 TILE = 128
-N_FIELDS = 10
+N_FIELDS = 11
 (F_KIND, F_WIN_WORD0, F_WIN_BITOFF, F_WIN_LEN, F_SEL_ADJ, F_LOWER_BITS,
- F_LB_WORD0, F_LB_BITOFF, F_BASE, F_NVALS) = range(N_FIELDS)
+ F_LB_WORD0, F_LB_BITOFF, F_BASE, F_NVALS, F_PREV_CUM) = range(N_FIELDS)
 
 
 @dataclass
@@ -110,6 +110,26 @@ def _tile_fields(bv, segs, s, a, b, out_row, ones_cache):
     return win_words, max(lb_words, 1)
 
 
+def _tile_last_value(bv, segs, s, b, ones_cache):
+    """Absolute decoded value of element b-1 of the stream, which lies in
+    segment s. Used to seed the next tile's F_PREV_CUM so that freq
+    reconstruction (cum diff) is fully tile-local on device."""
+    kind = int(segs.kind[s])
+    base = int(segs.base[s])
+    c = b - 1 - int(segs.out_begin[s])
+    if kind == SEG_AO:
+        return base + c
+    rel = ones_cache[s]  # populated by _tile_fields for this tile
+    if kind == SEG_RB:
+        return base + int(rel[c])
+    l = int(segs.lower_bits[s])
+    low = int(bv.get_bits(int(segs.lb_start[s]) + c * l, l)) if l else 0
+    v = ((int(rel[c]) - c - 1) << l) | low
+    if kind == SEG_EF_STRICT:
+        v += c
+    return base + v
+
+
 def build_tile_tables(index, cache_selects=True):
     """Cut every list into value-aligned tiles; precompute decode windows."""
     params = index.params
@@ -150,6 +170,7 @@ def build_tile_tables(index, cache_selects=True):
                 tiles.append((a, b))
 
         d_ones, f_ones = {}, {}
+        d_last, f_last = 0, 0
         for a, b in tiles:
             drow = np.zeros(N_FIELDS, dtype=np.int32)
             frow = np.zeros(N_FIELDS, dtype=np.int32)
@@ -157,6 +178,10 @@ def build_tile_tables(index, cache_selects=True):
             fs = _locate_segment(ft, f0, f1, a)
             dw, dl = _tile_fields(docs_bv, dt, ds, a, b, drow, d_ones)
             fw, fl = _tile_fields(freqs_bv, ft, fs, a, b, frow, f_ones)
+            drow[F_PREV_CUM] = d_last
+            frow[F_PREV_CUM] = f_last
+            d_last = _tile_last_value(docs_bv, dt, ds, b, d_ones)
+            f_last = _tile_last_value(freqs_bv, ft, fs, b, f_ones)
             d_rows.append(drow)
             f_rows.append(frow)
             tile_list.append(i)

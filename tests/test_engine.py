@@ -6,7 +6,13 @@ import numpy as np
 import pytest
 
 from ds2i_tpu import GlobalParameters
-from ds2i_tpu.engine import DeviceIndex, FlatQueryEngine, QueryEngine, TileQueryEngine
+from ds2i_tpu.engine import (
+    DeviceIndex,
+    FlatQueryEngine,
+    QueryEngine,
+    ResidentEngine,
+    TileQueryEngine,
+)
 from ds2i_tpu.index.types import make_index_type
 from ds2i_tpu.io import BinaryFreqCollection, generate_collection, read_sizes
 from ds2i_tpu.queries import (
@@ -55,7 +61,7 @@ def test_device_decode_matches_host(coll, name):
         )
 
 
-@pytest.mark.parametrize("engine_cls", [QueryEngine, FlatQueryEngine, TileQueryEngine])
+@pytest.mark.parametrize("engine_cls", [QueryEngine, FlatQueryEngine, TileQueryEngine, ResidentEngine])
 @pytest.mark.parametrize("name", ["ef", "opt"])
 def test_engine_boolean_matches_oracle(coll, name, engine_cls):
     c, index = build(coll, name)
@@ -68,7 +74,7 @@ def test_engine_boolean_matches_oracle(coll, name, engine_cls):
         assert got_or[i] == or_query(index, terms), f"OR mismatch q={terms}"
 
 
-@pytest.mark.parametrize("engine_cls", [QueryEngine, FlatQueryEngine, TileQueryEngine])
+@pytest.mark.parametrize("engine_cls", [QueryEngine, FlatQueryEngine, TileQueryEngine, ResidentEngine])
 @pytest.mark.parametrize("name", ["ef"])
 def test_engine_ranked_matches_oracle(coll, name, engine_cls):
     c, index = build(coll, name)
@@ -87,7 +93,7 @@ def test_engine_ranked_matches_oracle(coll, name, engine_cls):
             np.testing.assert_allclose(got_and[i], exp_and, rtol=1e-3, err_msg=f"q={terms}")
 
 
-@pytest.mark.parametrize("engine_cls", [QueryEngine, FlatQueryEngine, TileQueryEngine])
+@pytest.mark.parametrize("engine_cls", [QueryEngine, FlatQueryEngine, TileQueryEngine, ResidentEngine])
 def test_engine_duplicate_terms(coll, engine_cls):
     c, index = build(coll, "ef")
     wdata = WandData.build(read_sizes(coll), c)
