@@ -130,16 +130,17 @@ def _resident_step(
         tgt = bucket_tgt[bi][:, None]
         and_flag = last_real & (run_cnt == tgt) & (tgt > 0)
 
-        and_counts = and_flag.sum(axis=1, dtype=jnp.int32)
-        or_counts = last_real.sum(axis=1, dtype=jnp.int32)
-        res = [and_counts, or_counts]
+        # pack one f32 row per query: [counts?, topk_or?, topk_and?]
+        # (counts are exact in f32 up to 2^24) so each part downloads ONE array
+        res = []
+        if "counts" in ops:
+            res.append(and_flag.sum(axis=1, dtype=jnp.int32).astype(jnp.float32)[:, None])
+            res.append(last_real.sum(axis=1, dtype=jnp.int32).astype(jnp.float32)[:, None])
         for op, flag in (("or", last_real), ("and", and_flag)):
             if op in ops:
                 res.append(jax.lax.top_k(jnp.where(flag, run_score, NEG_INF), k)[0])
-            else:
-                res.append(jnp.full((Bb, k), NEG_INF, jnp.float32))
-        out.append(tuple(res))
-    return tuple(out)
+        out.append(jnp.concatenate(res, axis=1))
+    return jnp.concatenate(out, axis=0)
 
 
 class ResidentEngine:
@@ -386,6 +387,11 @@ class ResidentEngine:
     def execute(self, plan):
         """Upload per-part layouts, dispatch, download results. One device
         round trip per part, pipelined."""
+        import os as _os
+        import time as _time
+
+        debug = _os.environ.get("DS2I_ENGINE_DEBUG")
+        t0 = _time.time()
         pending = []
         for p in plan["plans"]:
             bb = p["buckets"]
@@ -408,12 +414,37 @@ class ResidentEngine:
             )
             pending.append((p, out))
 
+        if debug:
+            t_dispatch = _time.time() - t0
         results = [None] * plan["n"]
+        t_fetch = t_unpack = 0.0
         for p, out in pending:
-            for b, res in zip(p["buckets"], out):
-                arrs = [np.asarray(r) for r in res]
+            tf = _time.time()
+            packed = np.asarray(out)  # one transfer per part
+            t_fetch += _time.time() - tf
+            tf = _time.time()
+            ops = p["ops"]
+            off = 0
+            c0 = 2 if "counts" in ops else 0
+            c_or = c0 + (p["k"] if "or" in ops else 0)
+            for b in p["buckets"]:
+                rows = packed[off : off + len(b["rows"])]
+                off += b["Bb"]
                 for local, qi in enumerate(b["rows"]):
-                    results[qi] = tuple(a[local] for a in arrs)
+                    r = rows[local]
+                    results[qi] = (
+                        int(r[0]) if c0 else 0,
+                        int(r[1]) if c0 else 0,
+                        r[c0:c_or] if "or" in ops else None,
+                        r[c_or : c_or + p["k"]] if "and" in ops else None,
+                    )
+            t_unpack += _time.time() - tf
+        if debug:
+            print(
+                f"[resident] parts={len(pending)} dispatch={t_dispatch*1e3:.0f}ms "
+                f"fetch={t_fetch*1e3:.0f}ms unpack={t_unpack*1e3:.0f}ms",
+                flush=True,
+            )
         return results
 
     def run(self, queries, k=10, ops=("or", "and"), ranked=True):
