@@ -78,15 +78,14 @@ def _resident_step(
     ops,
     tmax,
 ):
-    j = jnp.arange(TILE, dtype=jnp.int32)[None, :]
-
     docs_blocks, w_blocks = [], []
-    for off, R, W, WL in groups:
+    for off, R, W, WL, T in groups:
+        j = jnp.arange(T, dtype=jnp.int32)[None, :]
         ids = gtile_ids[off : off + R]
         df = tiles_docs[ids]
         ff = tiles_freqs[ids]
-        dv = _decode_group(docs_words, df, W, WL)  # (R, TILE)
-        fv = _decode_group(freqs_words, ff, W, WL)
+        dv = _decode_group(docs_words, df, W, WL, T)  # (R, T)
+        fv = _decode_group(freqs_words, ff, W, WL, T)
         valid = j < df[:, F_NVALS][:, None]
         doc = jnp.where(valid, dv, num_docs)
         prev = jnp.concatenate([ff[:, F_PREV_CUM][:, None], fv[:, :-1]], axis=1)
@@ -97,8 +96,8 @@ def _resident_step(
             w = freq / (freq + k1 * (jnp.float32(1.0) - b + b * nl))
         else:
             w = jnp.where(valid, 1.0, 0.0)
-        docs_blocks.append(doc.reshape(R * BPT, BLOCK))
-        w_blocks.append(w.reshape(R * BPT, BLOCK))
+        docs_blocks.append(doc.reshape(R * (T // BLOCK), BLOCK))
+        w_blocks.append(w.reshape(R * (T // BLOCK), BLOCK))
 
     docs32 = jnp.concatenate(docs_blocks, axis=0)
     w32 = jnp.concatenate(w_blocks, axis=0)
@@ -193,7 +192,10 @@ class ResidentEngine:
         wl = np.maximum(t.lb_words, 1)
         wb = 1 << (2 * np.ceil(np.log2(np.maximum(ww, 4)) / 2).astype(np.int64))
         lb = 1 << (2 * np.ceil(np.log2(np.maximum(wl, 4)) / 2).astype(np.int64))
-        self.tile_bkey = wb * 1024 + lb
+        self.tile_T = np.clip(
+            2 ** np.ceil(np.log2(np.maximum(nvals, 1))).astype(np.int64), BLOCK, TILE
+        )
+        self.tile_bkey = self.tile_T * (1 << 22) + wb * 1024 + lb
         self.tile_wb = wb
         self.tile_lb = lb
 
@@ -241,42 +243,47 @@ class ResidentEngine:
         gstarts = np.concatenate([[0], bnd, [ntiles]]).astype(np.int64)
 
         groups = []
-        grow = np.zeros(ntiles, dtype=np.int64)  # group-major row of each utile
+        tblk = np.zeros(ntiles, dtype=np.int64)  # first global block of each utile
         gids_parts = []
-        off = 0
+        off = 0  # row offset into gtile_ids
+        gblk = 0  # global 32-slot block offset
         ngroups = len(gstarts) - 1
+        sent_blk = 0
         for gi in range(ngroups):
             lo_i, hi_i = int(gstarts[gi]), int(gstarts[gi + 1])
             if hi_i <= lo_i:
                 continue
             sel = order[lo_i:hi_i]
             cnt = hi_i - lo_i
+            T = int(self.tile_T[utidx[sel[0]]])
+            bpt = T // BLOCK
             # last group gets one guaranteed pad row (the sentinel block)
             R = _pow2_at_least(cnt + (1 if gi == ngroups - 1 else 0), lo=8)
             ids = np.full(R, self.pad_tile, dtype=_I32)
             ids[:cnt] = utidx[sel]
-            grow[sel] = off + np.arange(cnt)
-            groups.append((off, R, int(self.tile_wb[utidx[sel[0]]]), int(self.tile_lb[utidx[sel[0]]])))
+            tblk[sel] = gblk + np.arange(cnt) * bpt
+            groups.append(
+                (off, R, int(self.tile_wb[utidx[sel[0]]]), int(self.tile_lb[utidx[sel[0]]]), T)
+            )
             gids_parts.append(ids)
+            sent_blk = gblk + cnt * bpt  # first pad row's block (valid for last group)
             off += R
+            gblk += R * bpt
         if not groups:
-            groups = [(0, 8, 4, 4)]
+            groups = [(0, 8, 4, 4, TILE)]
             gids_parts = [np.full(8, self.pad_tile, dtype=_I32)]
             off = 8
+            sent_blk = 0
         gtile_ids = np.concatenate(gids_parts)
-        # sentinel block: first pad row of the last group
-        last_off, last_R, _, _ = groups[-1]
-        n_last = int(np.sum(gtile_ids[last_off : last_off + last_R] != self.pad_tile))
-        sent_blk = (last_off + n_last) * BPT
 
         # --- per-unique-term block lists (group-major block ids, tile order)
         nbt = self.tile_blocks[utidx]  # blocks of each utile
         tot_blk = int(nbt.sum())
         if tot_blk:
             bexcl = np.cumsum(nbt) - nbt
-            # block b of utile i -> grow[i]*BPT + b
+            # block b of utile i -> tblk[i] + b
             ublocks = (
-                np.repeat(grow * BPT - bexcl, nbt) + np.arange(tot_blk, dtype=np.int64)
+                np.repeat(tblk - bexcl, nbt) + np.arange(tot_blk, dtype=np.int64)
             )
         else:
             ublocks = np.zeros(0, dtype=np.int64)
@@ -416,6 +423,11 @@ class ResidentEngine:
 
         if debug:
             t_dispatch = _time.time() - t0
+        if _os.environ.get("DS2I_ENGINE_NOFETCH"):
+            t0 = _time.time()
+            for p, out in pending:
+                _ = np.asarray(out[:1, :1])  # force compute, skip download
+            print(f"[resident] compute-only: {(_time.time()-t0)*1e3:.0f}ms", flush=True)
         results = [None] * plan["n"]
         t_fetch = t_unpack = 0.0
         for p, out in pending:

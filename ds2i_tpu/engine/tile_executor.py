@@ -58,9 +58,11 @@ def _masked_lowbits(hi):
     return jnp.where(h >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << (h & jnp.uint32(31))) - jnp.uint32(1))
 
 
-def _decode_group(words, fields, W, WL):
-    """Decode one group of tiles: fields (R, N_FIELDS) -> (R, TILE) int32
-    values (pads undefined, masked by caller).
+def _decode_group(words, fields, W, WL, T=TILE):
+    """Decode one group of tiles: fields (R, N_FIELDS) -> (R, T) int32
+    values (pads undefined, masked by caller). T is the tile width in
+    value slots (<= TILE); narrow groups decode short lists without
+    paying full-width select work.
 
     Select = popcount hierarchy, entirely via masked comparison-reduces
     (no bit expansion, no gathers): per-word population counts locate the
@@ -70,7 +72,7 @@ def _decode_group(words, fields, W, WL):
     lanes per tile."""
     R = fields.shape[0]
     kind = fields[:, F_KIND]
-    j = jnp.arange(TILE, dtype=jnp.int32)[None, :]
+    j = jnp.arange(T, dtype=jnp.int32)[None, :]
 
     # select window: W words masked to [win_bitoff, win_bitoff + win_len)
     widx = fields[:, F_WIN_WORD0][:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
@@ -94,9 +96,9 @@ def _decode_group(words, fields, W, WL):
 
     # branchless in-word select of the (rem+1)-th set bit
     rem = j - rank_before
-    pos = jnp.zeros((R, TILE), dtype=jnp.int32)
+    pos = jnp.zeros((R, T), dtype=jnp.int32)
     for width in (16, 8, 4, 2, 1):
-        mask = _masked_lowbits(jnp.full((R, TILE), width, jnp.int32)) << pos.astype(jnp.uint32)
+        mask = _masked_lowbits(jnp.full((R, T), width, jnp.int32)) << pos.astype(jnp.uint32)
         c = jax.lax.population_count(target_word & mask).astype(jnp.int32)
         right = rem >= c
         rem = rem - jnp.where(right, c, 0)
@@ -113,7 +115,7 @@ def _decode_group(words, fields, W, WL):
     w0i = jnp.clip(bit_off >> 5, 0, WL)
     s = (bit_off & 31).astype(jnp.uint32)
     widx_range = jnp.arange(WL + 1, dtype=jnp.int32)[None, None, :]
-    sel0 = w0i[:, :, None] == widx_range  # (R, TILE, WL+1)
+    sel0 = w0i[:, :, None] == widx_range  # (R, T, WL+1)
     w0 = jnp.where(sel0, lbw[:, None, :], jnp.uint32(0)).sum(axis=2, dtype=jnp.uint32)
     sel1 = (w0i + 1)[:, :, None] == widx_range
     w1 = jnp.where(sel1, lbw[:, None, :], jnp.uint32(0)).sum(axis=2, dtype=jnp.uint32)
