@@ -94,7 +94,7 @@ def main():
 
     log(f"devices: {jax.devices()}")
     t0 = time.time()
-    engine = ResidentEngine(index, wdata, max_part_slots=int(os.environ.get('DS2I_BENCH_PART_SLOTS', 1 << 21)))
+    engine = ResidentEngine(index, wdata, max_part_slots=int(os.environ.get('DS2I_BENCH_PART_SLOTS', 1 << 25)))
     log(f"engine init (resident upload + tile tables): {time.time()-t0:.1f}s")
 
     # parse + lay out the batch (reference: queries parsed before op_perftest)

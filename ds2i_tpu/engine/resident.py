@@ -68,11 +68,12 @@ def _resident_step(
     tiles_freqs,
     norm_lens,  # RESIDENT f32[num_docs]
     gtile_ids,  # i32[Rtot] group-major tile ids (pads -> Nt)
-    bucket_blkidx,  # tuple of i32[Bb, L/32] global block ids
-    bucket_qw,  # tuple of f32[Bb, L/32]
+    bucket_dir,  # tuple of i32[Bb, L/32]: (global block id << 5) | term slot
+    bucket_qwtab,  # tuple of f32[Bb, tmax] per-row term-slot query weights
     bucket_tgt,  # tuple of i32[Bb]
-    groups,  # tuple of (off, R, W, WL)
-    buckets,  # tuple of (Bb, L)
+    groups,  # tuple of (off, R, W, WL, T)
+    buckets,  # tuple of (Bb, L, nrows)
+    sent_dir,  # static: packed directory value of the sentinel block
     num_docs,
     k,
     ops,
@@ -103,10 +104,22 @@ def _resident_step(
     w32 = jnp.concatenate(w_blocks, axis=0)
 
     out = []
-    for bi, (Bb, L) in enumerate(buckets):
-        blkidx = bucket_blkidx[bi]
+    for bi, (Bb, L, nrows) in enumerate(buckets):
+        # uploads carry only the real rows; pad to the pow2 batch on device
+        bdir = jnp.concatenate(
+            [bucket_dir[bi], jnp.full((Bb - nrows, L // BLOCK), sent_dir, jnp.int32)], axis=0
+        ) if Bb > nrows else bucket_dir[bi]
+        qwtab = jnp.concatenate(
+            [bucket_qwtab[bi], jnp.zeros((Bb - nrows, bucket_qwtab[bi].shape[1]), jnp.float32)], axis=0
+        ) if Bb > nrows else bucket_qwtab[bi]
+        tgtv = jnp.concatenate(
+            [bucket_tgt[bi], jnp.zeros(Bb - nrows, jnp.int32)]
+        ) if Bb > nrows else bucket_tgt[bi]
+        blkidx = bdir >> 5
+        slot = bdir & 31
+        qw = jnp.take_along_axis(qwtab, slot, axis=1)  # (Bb, L/32)
         d = jnp.take(docs32, blkidx, axis=0).reshape(Bb, L)
-        c = (jnp.take(w32, blkidx, axis=0) * bucket_qw[bi][:, :, None]).reshape(Bb, L)
+        c = (jnp.take(w32, blkidx, axis=0) * qw[:, :, None]).reshape(Bb, L)
         sd, sc = jax.lax.sort([d, c], dimension=1, num_keys=1, is_stable=True)
 
         real = sd < num_docs
@@ -126,7 +139,7 @@ def _resident_step(
             run_cnt = run_cnt + jnp.where(match, om, 0)
 
         last_real = last & real
-        tgt = bucket_tgt[bi][:, None]
+        tgt = tgtv[:, None]
         and_flag = last_real & (run_cnt == tgt) & (tgt > 0)
 
         # pack one f32 row per query: [counts?, topk_or?, topk_and?]
@@ -138,7 +151,7 @@ def _resident_step(
         for op, flag in (("or", last_real), ("and", and_flag)):
             if op in ops:
                 res.append(jax.lax.top_k(jnp.where(flag, run_score, NEG_INF), k)[0])
-        out.append(jnp.concatenate(res, axis=1))
+        out.append(jnp.concatenate(res, axis=1)[:nrows])  # download real rows only
     return jnp.concatenate(out, axis=0)
 
 
@@ -302,20 +315,22 @@ class ResidentEngine:
 
         # expand each span's blocks, query-major
         tot = int(span_nb.sum())
+        sexcl = np.cumsum(counts) - counts  # span slot within row
+        slot_of_span = np.arange(len(span_nb), dtype=np.int64) - sexcl[span_row]
         if tot:
-            sexcl = np.cumsum(span_nb) - span_nb
+            bexcl2 = np.cumsum(span_nb) - span_nb
             span_of_blk = np.repeat(np.arange(len(span_nb)), span_nb)
             blk_flat = ublocks[
-                np.repeat(ustart[uinv] - sexcl, span_nb) + np.arange(tot, dtype=np.int64)
+                np.repeat(ustart[uinv] - bexcl2, span_nb) + np.arange(tot, dtype=np.int64)
             ]
-            qw_flat = qw[span_of_blk]
+            dir_flat = (blk_flat << 5) | slot_of_span[span_of_blk]
             row_of_blk = span_row[span_of_blk]
             # column of each block within its row
             rexcl = np.zeros(B + 1, dtype=np.int64)
             rexcl[1:] = np.cumsum(row_nb)
             col_of_blk = np.arange(tot, dtype=np.int64) - rexcl[row_of_blk]
         else:
-            blk_flat = qw_flat = row_of_blk = col_of_blk = np.zeros(0, np.int64)
+            dir_flat = row_of_blk = col_of_blk = np.zeros(0, np.int64)
 
         # --- bucket the queries by Lb
         plan_buckets = []
@@ -327,25 +342,31 @@ class ResidentEngine:
             bucket_of_row[rows] = bi
             row_in_bucket[rows] = np.arange(len(rows))
             Bb = _pow2_at_least(len(rows), lo=1)
-            blkidx = np.full((Bb, int(L) // BLOCK), sent_blk, dtype=_I32)
-            qwb = np.zeros((Bb, int(L) // BLOCK), dtype=_F32)
-            tgt = np.zeros(Bb, dtype=_I32)
-            tgt[: len(rows)] = counts[rows]
+            nr = len(rows)
+            bdir = np.full((nr, int(L) // BLOCK), sent_blk << 5, dtype=_I32)
+            qwtab = np.zeros((nr, tmax), dtype=_F32)
+            tgt = counts[rows].astype(_I32)
             plan_buckets.append(
-                {"L": int(L), "Bb": Bb, "rows": qids[rows], "blkidx": blkidx, "qw": qwb, "tgt": tgt}
+                {"L": int(L), "Bb": Bb, "rows": qids[rows], "dir": bdir, "qwtab": qwtab, "tgt": tgt}
             )
+        if len(terms):
+            b_of_span = bucket_of_row[span_row]
+            r_of_span = row_in_bucket[span_row]
+            for bi, pb in enumerate(plan_buckets):
+                m = b_of_span == bi
+                pb["qwtab"][r_of_span[m], slot_of_span[m]] = qw[m]
         if tot:
             b_of = bucket_of_row[row_of_blk]
             r_of = row_in_bucket[row_of_blk]
             for bi, pb in enumerate(plan_buckets):
                 m = b_of == bi
-                pb["blkidx"][r_of[m], col_of_blk[m]] = blk_flat[m]
-                pb["qw"][r_of[m], col_of_blk[m]] = qw_flat[m]
+                pb["dir"][r_of[m], col_of_blk[m]] = dir_flat[m]
 
         return {
             "gtile_ids": gtile_ids,
             "groups": tuple(groups),
             "buckets": plan_buckets,
+            "sent_dir": int(sent_blk << 5),
             "k": k,
             "ops": ops,
             "tmax": tmax,
@@ -358,6 +379,8 @@ class ResidentEngine:
         qend = np.cumsum(counts)
         qstart = qend - counts
         tmax = _pow2_at_least(int(counts.max()) if len(counts) else 1, lo=2)
+        if tmax > 32:
+            raise ValueError("ResidentEngine supports at most 32 unique terms per query")
 
         # part splitting by bucketed slot budget
         qslots = np.zeros(len(queries), dtype=np.int64)
@@ -409,11 +432,12 @@ class ResidentEngine:
                 self.tiles_freqs,
                 self.norm_lens,
                 jnp.asarray(p["gtile_ids"]),
-                tuple(jnp.asarray(b["blkidx"]) for b in bb),
-                tuple(jnp.asarray(b["qw"]) for b in bb),
+                tuple(jnp.asarray(b["dir"]) for b in bb),
+                tuple(jnp.asarray(b["qwtab"]) for b in bb),
                 tuple(jnp.asarray(b["tgt"]) for b in bb),
                 groups=p["groups"],
-                buckets=tuple((b["Bb"], b["L"]) for b in bb),
+                buckets=tuple((b["Bb"], b["L"], len(b["rows"])) for b in bb),
+                sent_dir=p["sent_dir"],
                 num_docs=self.num_docs,
                 k=p["k"],
                 ops=p["ops"],
@@ -441,7 +465,7 @@ class ResidentEngine:
             c_or = c0 + (p["k"] if "or" in ops else 0)
             for b in p["buckets"]:
                 rows = packed[off : off + len(b["rows"])]
-                off += b["Bb"]
+                off += len(b["rows"])
                 for local, qi in enumerate(b["rows"]):
                     r = rows[local]
                     results[qi] = (
