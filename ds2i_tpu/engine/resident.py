@@ -38,6 +38,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops import pallas_decode
 from ..queries.bm25 import BM25
 from ..queries.parsing import query_freqs
 from .tile_executor import _decode_group
@@ -59,7 +60,7 @@ def _pow2_at_least(x, lo=1):
 
 @partial(
     jax.jit,
-    static_argnames=("groups", "buckets", "num_docs", "k", "ops", "tmax"),
+    static_argnames=("groups", "buckets", "sent_dir", "num_docs", "k", "ops", "tmax", "pallas"),
 )
 def _resident_step(
     docs_words,
@@ -78,25 +79,33 @@ def _resident_step(
     k,
     ops,
     tmax,
+    pallas=0,  # 0: XLA decode, 1: pallas kernel, 2: pallas interpret (tests)
 ):
     docs_blocks, w_blocks = [], []
     for off, R, W, WL, T in groups:
-        j = jnp.arange(T, dtype=jnp.int32)[None, :]
         ids = gtile_ids[off : off + R]
         df = tiles_docs[ids]
         ff = tiles_freqs[ids]
-        dv = _decode_group(docs_words, df, W, WL, T)  # (R, T)
-        fv = _decode_group(freqs_words, ff, W, WL, T)
-        valid = j < df[:, F_NVALS][:, None]
-        doc = jnp.where(valid, dv, num_docs)
-        prev = jnp.concatenate([ff[:, F_PREV_CUM][:, None], fv[:, :-1]], axis=1)
-        freq = jnp.where(valid, fv - prev, 0).astype(jnp.float32)
+        if pallas:
+            doc, freq_i = pallas_decode.decode_pair(
+                docs_words, freqs_words, df, ff, W, WL, T, num_docs,
+                interpret=(pallas == 2),
+            )
+            freq = freq_i.astype(jnp.float32)
+        else:
+            j = jnp.arange(T, dtype=jnp.int32)[None, :]
+            dv = _decode_group(docs_words, df, W, WL, T)  # (R, T)
+            fv = _decode_group(freqs_words, ff, W, WL, T)
+            valid = j < df[:, F_NVALS][:, None]
+            doc = jnp.where(valid, dv, num_docs)
+            prev = jnp.concatenate([ff[:, F_PREV_CUM][:, None], fv[:, :-1]], axis=1)
+            freq = jnp.where(valid, fv - prev, 0).astype(jnp.float32)
         if ("or" in ops) or ("and" in ops):
             nl = norm_lens[jnp.clip(doc, 0, num_docs - 1)]
             k1, b = jnp.float32(BM25.k1), jnp.float32(BM25.b)
             w = freq / (freq + k1 * (jnp.float32(1.0) - b + b * nl))
         else:
-            w = jnp.where(valid, 1.0, 0.0)
+            w = jnp.where(doc < num_docs, 1.0, 0.0)
         docs_blocks.append(doc.reshape(R * (T // BLOCK), BLOCK))
         w_blocks.append(w.reshape(R * (T // BLOCK), BLOCK))
 
@@ -162,18 +171,29 @@ class ResidentEngine:
     MIN_L = 64
 
     def __init__(self, index, wdata=None, scorer=BM25, max_part_slots=1 << 21,
-                 max_part_queries=16384):
+                 max_part_queries=16384, pallas=None):
         self.index = index
         self.num_docs = index.num_docs()
         self.scorer = scorer
         self.max_part_slots = max_part_slots
         self.max_part_queries = max_part_queries
+        self._pallas_req = pallas
 
         self.norm_lens = (
             jnp.asarray(wdata.norm_lens) if wdata is not None else jnp.ones(self.num_docs, jnp.float32)
         )
         self.docs_words = jnp.asarray(index.docs_sequences.bits_bv.words.view(np.uint32))
         self.freqs_words = jnp.asarray(index.freqs_sequences.bits_bv.words.view(np.uint32))
+        # pallas decode only on a real TPU placement (the axon plugin makes
+        # default_backend() report tpu even when arrays land on cpu)
+        import os as _os
+
+        env = _os.environ.get("DS2I_PALLAS")
+        if self._pallas_req is None:
+            # default to the XLA decode: measured faster than the pallas
+            # kernel at these group shapes (see ops/pallas_decode.py)
+            self._pallas_req = {"0": 0, "1": 1, "interpret": 2}.get(env, 0)
+        self.pallas = self._pallas_req
 
         t = build_tile_tables(index)
         self.tiles = t
@@ -442,6 +462,7 @@ class ResidentEngine:
                 k=p["k"],
                 ops=p["ops"],
                 tmax=p["tmax"],
+                pallas=self.pallas,
             )
             pending.append((p, out))
 

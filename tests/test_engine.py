@@ -101,3 +101,28 @@ def test_engine_duplicate_terms(coll, engine_cls):
     (r1,) = engine.ranked_or([[5, 5]], k=10)
     exp = ranked_or_query(index, wdata, [5, 5], k=10)
     np.testing.assert_allclose(r1, exp, rtol=1e-3)
+
+
+def test_pallas_decode_matches_xla(coll):
+    """The fused Pallas tile-decode kernel (interpret mode on CPU) must
+    reproduce the XLA comparison-reduce decode bit-for-bit."""
+    c, index = build(coll, "ef")
+    engine = ResidentEngine(index, pallas=0)
+    engine_p = ResidentEngine(index, pallas=2)
+    queries = read_queries(coll + ".queries")[:20]
+    a = engine.and_counts(queries)
+    b = engine_p.and_counts(queries)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_resident_pallas_ranked(coll):
+    c, index = build(coll, "ef")
+    wdata = WandData.build(read_sizes(coll), c)
+    engine = ResidentEngine(index, wdata, pallas=2)
+    queries = read_queries(coll + ".queries")[:15]
+    got = engine.ranked_and(queries, k=10)
+    for i, terms in enumerate(queries):
+        exp = ranked_and_query(index, wdata, terms, k=10)
+        assert len(got[i]) == len(exp)
+        if exp:
+            np.testing.assert_allclose(got[i], exp, rtol=1e-3, err_msg=f"q={terms}")
