@@ -77,15 +77,40 @@ class FreqIndex:
             self.index_cls = index_cls
             self.num_docs = num_docs
             self.params = params
+            self.workers = workers
             self.docs_builder = BitvectorCollection.Builder(params)
             self.freqs_builder = BitvectorCollection.Builder(params)
             self.pool = OrderedBuildPool(workers=workers)
+            self._fast = self._fast_eligible() and []
+            self._fast_occs = []
+
+        def _fast_eligible(self):
+            import os
+
+            if os.environ.get("DS2I_NATIVE") == "0":
+                return False
+            from ..native import available
+            from ..sequences.ef import CompactEliasFano, StrictEliasFano
+            from ..sequences.selectors import PositiveSequence
+
+            cls = self.index_cls
+            return (
+                available()
+                and cls.docs_sequence_type is CompactEliasFano
+                and isinstance(cls.freqs_sequence_type, type)
+                and issubclass(cls.freqs_sequence_type, PositiveSequence)
+                and cls.freqs_sequence_type.base_sequence_type is StrictEliasFano
+            )
 
         def add_posting_list(self, n, docs, freqs, occurrences):
             if not n:
                 raise ValueError("List must be nonempty")
             docs = np.asarray(docs, dtype=_U64)
             freqs = np.asarray(freqs, dtype=_U64)
+            if self._fast is not False and self._fast is not None:
+                self._fast.append((docs, freqs))
+                self._fast_occs.append(int(occurrences))
+                return
             cls, num_docs, params = self.index_cls, self.num_docs, self.params
 
             def prepare():
@@ -106,6 +131,20 @@ class FreqIndex:
             self.pool.add_job(prepare, commit, 2 * n)
 
         def build(self):
+            if self._fast:
+                from .fast_build import build_ef_collections
+
+                built = build_ef_collections(
+                    [d for d, _ in self._fast],
+                    [f for _, f in self._fast],
+                    self._fast_occs,
+                    self.num_docs,
+                    self.params,
+                    workers=self.workers,
+                )
+                if built is not None:
+                    docs_coll, freqs_coll = built
+                    return self.index_cls(self.params, self.num_docs, docs_coll, freqs_coll)
             self.pool.complete()
             return self.index_cls(
                 self.params,

@@ -58,3 +58,41 @@ def optimal_partition_native(values, universe, n, params, eps1, eps2, fix_cost, 
     if res < 0:
         return None
     return [int(x) for x in out[:res]]
+
+
+def ef_write_batch_native(words, vals, voff, base_bits, universes, occs, params, workers=None):
+    """Batched compact-EF writer (ds2i_ef_write_batch). Writes in place
+    into the zeroed u64 `words` buffer; thread-parallel over sequences."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if not hasattr(lib, "_ef_batch_ready"):
+        lib.ds2i_ef_write_batch.restype = None
+        lib.ds2i_ef_write_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+        ]
+        lib._ef_batch_ready = True
+    if workers is None:
+        workers = os.cpu_count() or 1
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    voff = np.ascontiguousarray(voff, dtype=np.int64)
+    base_bits = np.ascontiguousarray(base_bits, dtype=np.int64)
+    universes = np.ascontiguousarray(universes, dtype=np.uint64)
+    occs_p = None
+    if occs is not None:
+        occs = np.ascontiguousarray(occs, dtype=np.uint64)
+        occs_p = occs.ctypes.data_as(ctypes.c_void_p)
+    lib.ds2i_ef_write_batch(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        voff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        base_bits.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        universes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        occs_p,
+        int(params.ef_log_sampling0), int(params.ef_log_sampling1),
+        len(base_bits), int(workers),
+    )

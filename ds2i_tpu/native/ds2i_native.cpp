@@ -157,3 +157,130 @@ long ds2i_optimal_partition(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched compact-Elias-Fano writer.
+//
+// The reference encodes posting lists inside semiasync_queue worker threads
+// (freq_index.hpp:54-97, compact_elias_fano.hpp:69-136). Here whole index
+// construction is one call: every sequence's bit layout was precomputed on
+// the host (vectorized), and this kernel writes headers, high bits, low
+// bits, and both pointer arrays for all sequences, thread-parallel over
+// contiguous sequence ranges. Adjacent sequences can share a 64-bit word,
+// so every write is an atomic OR into the zero-initialized buffer (all
+// writes touch disjoint bits, making relaxed atomics exact).
+
+#include <thread>
+#include <vector>
+#include <atomic>
+
+namespace {
+
+inline void or_bits(uint64_t* words, int64_t pos, uint64_t value, int width) {
+    if (width <= 0) return;
+    if (width < 64) value &= (1ULL << width) - 1;
+    int64_t w = pos >> 6;
+    int s = (int)(pos & 63);
+    __atomic_fetch_or(&words[w], value << s, __ATOMIC_RELAXED);
+    if (s + width > 64)
+        __atomic_fetch_or(&words[w + 1], value >> (64 - s), __ATOMIC_RELAXED);
+}
+
+// gamma(x): nn = x+1, l = msb(nn); LSB-first: (1<<l) in l+1 bits, then
+// nn^(1<<l) in l bits (integer_codes.hpp:6-24; bitvec/codes.py)
+inline int64_t write_gamma(uint64_t* words, int64_t pos, uint64_t x) {
+    uint64_t nn = x + 1;
+    int l = (int)msb(nn);
+    or_bits(words, pos, 1ULL << l, l + 1);
+    or_bits(words, pos + l + 1, nn ^ (1ULL << l), l);
+    return pos + 2 * l + 1;
+}
+
+inline void ef_write_one(uint64_t* words, const uint64_t* v, int64_t n,
+                         uint64_t universe, int64_t base, int log_s0, int log_s1) {
+    int l = universe > (uint64_t)n ? (int)msb(universe / (uint64_t)n) : 0;
+    int64_t hb_len = n + (int64_t)(universe >> l) + 2;
+    int psize = (int)ceil_log2((uint64_t)hb_len);
+    int64_t p0 = (hb_len - n) >> log_s0;
+    int64_t p1 = n >> log_s1;
+    int64_t p0_off = base;
+    int64_t p1_off = p0_off + p0 * psize;
+    int64_t hb_off = p1_off + p1 * psize;
+    int64_t lb_off = hb_off + hb_len;
+    uint64_t mask = l ? ((1ULL << l) - 1) : 0;
+
+    for (int64_t k = 0; k < n; k++) {
+        uint64_t high = (v[k] >> l) + (uint64_t)k + 1;
+        int64_t pos = hb_off + (int64_t)high;
+        __atomic_fetch_or(&words[pos >> 6], 1ULL << (pos & 63), __ATOMIC_RELAXED);
+        if (l) or_bits(words, lb_off + k * l, v[k] & mask, l);
+    }
+    for (int64_t k = 1; k <= p1; k++) {
+        int64_t idx = k << log_s1;
+        if (idx >= n) break;  // slots past the end stay zero (reference loop bound)
+        or_bits(words, p1_off + (k - 1) * psize, (v[idx] >> l) + (uint64_t)idx + 1, psize);
+    }
+    if (p0) {
+        // walk ones in order, emitting every (k<<log_s0)-th zero position
+        int64_t zeros_seen = 0, prev_one = -1, k = 1;
+        int64_t next_target = (int64_t)1 << log_s0;
+        int64_t total_zeros = hb_len - n;
+        for (int64_t i = 0; i <= n && k <= p0; i++) {
+            int64_t one = (i < n) ? (int64_t)((v[i] >> l) + (uint64_t)i + 1) : hb_len;
+            int64_t gap = one - prev_one - 1;  // zeros strictly between
+            while (k <= p0 && next_target < zeros_seen + gap) {
+                if (next_target >= total_zeros) { k = p0 + 1; break; }
+                int64_t zpos = prev_one + 1 + (next_target - zeros_seen);
+                or_bits(words, p0_off + (k - 1) * psize, (uint64_t)zpos, psize);
+                k++; next_target = (int64_t)k << log_s0;
+            }
+            zeros_seen += gap;
+            prev_one = one;
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// occs == NULL: plain EF sequences. occs != NULL: per-sequence freq_index
+// docs header first — gamma_nonzero(occ), then n in ceil_log2(occ+1) bits
+// when occ > 1 (freq_index.hpp:68-73) — then EF at the header's end.
+void ds2i_ef_write_batch(
+    uint64_t* words,
+    const uint64_t* vals, const int64_t* voff,
+    const int64_t* base_bits, const uint64_t* universes,
+    const uint64_t* occs,
+    int log_s0, int log_s1, int64_t count, int nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    auto work = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; i++) {
+            int64_t n = voff[i + 1] - voff[i];
+            int64_t pos = base_bits[i];
+            if (occs) {
+                pos = write_gamma(words, pos, occs[i] - 1);
+                if (occs[i] > 1) {
+                    int w = (int)ceil_log2(occs[i] + 1);
+                    or_bits(words, pos, (uint64_t)n, w);
+                    pos += w;
+                }
+            }
+            ef_write_one(words, vals + voff[i], n, universes[i], pos, log_s0, log_s1);
+        }
+    };
+    if (nthreads == 1 || count < 256) {
+        work(0, count);
+        return;
+    }
+    std::vector<std::thread> ts;
+    int64_t chunk = (count + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        int64_t lo = t * chunk, hi = std::min(count, lo + chunk);
+        if (lo >= hi) break;
+        ts.emplace_back(work, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+}
+
+}  // extern "C"

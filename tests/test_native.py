@@ -57,3 +57,46 @@ def test_native_used_by_partitioned_write(tmp_path):
     np.testing.assert_array_equal(
         PartitionedSequence.decode(bv, 0, 50_000, 3000, params), values
     )
+
+
+def test_native_ef_batch_bit_identical(monkeypatch):
+    """The batched native EF writer must produce byte-identical docs/freqs
+    collections to the pure-Python encoder, headers included."""
+    from ds2i_tpu import GlobalParameters
+    from ds2i_tpu.index.types import make_index_type
+    from ds2i_tpu.native import available
+
+    if not available():
+        pytest.skip("native library not built")
+
+    rng = np.random.RandomState(7)
+    num_docs = 5000
+    lists = []
+    for i in range(300):
+        n = int(rng.randint(1, 700))
+        docs = np.sort(rng.choice(num_docs, size=n, replace=False)).astype(np.uint64)
+        freqs = rng.randint(1, 30, size=n).astype(np.uint64)
+        lists.append((n, docs, freqs, int(freqs.sum())))
+    # include single-posting and occurrences==1 edge cases
+    lists.append((1, np.array([0], np.uint64), np.array([1], np.uint64), 1))
+    lists.append((1, np.array([num_docs - 1], np.uint64), np.array([7], np.uint64), 7))
+
+    def build(fast):
+        if not fast:
+            monkeypatch.setenv("DS2I_NATIVE", "0")
+        else:
+            monkeypatch.delenv("DS2I_NATIVE", raising=False)
+        cls = make_index_type("ef")
+        b = cls.builder(num_docs, GlobalParameters())
+        for n, d, f, occ in lists:
+            b.add_posting_list(n, d, f, occ)
+        return b.build()
+
+    slow = build(False)
+    fast = build(True)
+    for name in ("docs_sequences", "freqs_sequences"):
+        sb, fb = getattr(slow, name), getattr(fast, name)
+        assert sb.bits_bv.nbits == fb.bits_bv.nbits, name
+        nw = (sb.bits_bv.nbits + 63) // 64
+        np.testing.assert_array_equal(sb.bits_bv.words[:nw], fb.bits_bv.words[:nw], err_msg=name)
+        np.testing.assert_array_equal(sb.endpoints(), fb.endpoints(), err_msg=name)
