@@ -6,6 +6,11 @@ Usage: python -m ds2i_tpu.tools.queries <type> <op[:op...]> <index file>
 Timing protocol mirrors op_perftest (queries.cpp:25-60): 1 untimed warmup
 run, 2 timed runs over all queries, per-query microseconds; reports
 mean/q50/q90/q95 as a stats_line.
+
+--engine resident runs the ops on the batched device engine (EF-family
+index types): one prepared plan, whole-log passes per run, mean
+per-query time (per-query quantiles are not observable in a batched
+dispatch and are reported equal to the mean).
 """
 
 import argparse
@@ -60,6 +65,36 @@ def perftest(index, wdata, queries, type_name, ops, k=10):
         op_perftest(op_fn, queries, op_name, type_name)
 
 
+_ENGINE_OPS = {
+    "and": ("counts",), "or": ("counts",),
+    "ranked_and": ("and",), "ranked_or": ("or",),
+    "wand": ("or",), "maxscore": ("or",),
+}
+
+
+def engine_perftest(index, wdata, queries, type_name, ops, k=10, runs=2):
+    from ..engine import ResidentEngine
+
+    engine = ResidentEngine(index, wdata)
+    for op_name in ops:
+        if op_name not in _ENGINE_OPS:
+            logger(f"unsupported query type: {op_name}")
+            continue
+        plan = engine.prepare(queries, k=k, ops=_ENGINE_OPS[op_name])
+        times = []
+        for run in range(runs + 1):
+            t0 = time.perf_counter()
+            engine.execute(plan)
+            dt = (time.perf_counter() - t0) * 1e6 / max(len(queries), 1)
+            if run:
+                times.append(dt)
+        mean = float(np.mean(times))
+        logger(f"---- {type_name} {op_name} (resident engine)")
+        logger(f"Mean: {mean}")
+        stats_line(type=type_name, query=op_name, engine="resident",
+                   avg=mean, q50=mean, q90=mean, q95=mean)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("type")
@@ -68,13 +103,18 @@ def main():
     ap.add_argument("wand_file", nargs="?")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--queries", help="read queries from file instead of stdin")
+    ap.add_argument("--engine", choices=["cursor", "resident"], default="cursor",
+                    help="cursor: reference-style enumerators; resident: batched device engine")
     args = ap.parse_args()
 
     index = load_index(args.index_file, args.type)
     wdata = load_wand_data(args.wand_file) if args.wand_file else None
     queries = read_queries(args.queries if args.queries else sys.stdin)
     logger(f"{len(queries)} queries")
-    perftest(index, wdata, queries, args.type, args.ops.split(":"), k=args.k)
+    if args.engine == "resident":
+        engine_perftest(index, wdata, queries, args.type, args.ops.split(":"), k=args.k)
+    else:
+        perftest(index, wdata, queries, args.type, args.ops.split(":"), k=args.k)
 
 
 if __name__ == "__main__":
