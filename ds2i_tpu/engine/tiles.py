@@ -131,7 +131,18 @@ def _tile_last_value(bv, segs, s, b, ones_cache):
 
 
 def build_tile_tables(index, cache_selects=True):
-    """Cut every list into value-aligned tiles; precompute decode windows."""
+    """Cut every list into value-aligned tiles; precompute decode windows.
+
+    Plain-`ef` indexes (one EF segment per stream) take a fully
+    vectorized fast path (tiles_fast.build_tile_tables_ef, identical
+    output); other compositions use the generic per-list walk below."""
+    try:
+        from ..index.types import is_plain_ef_index
+        if is_plain_ef_index(index):
+            from .tiles_fast import build_tile_tables_ef
+            return build_tile_tables_ef(index)
+    except ImportError:
+        pass
     params = index.params
     num_docs = index.num_docs()
     docs_bv = index.docs_sequences.bits()

@@ -49,3 +49,19 @@ def make_index_type(name):
     if name not in INDEX_TYPES and name.startswith("block_"):
         from . import block_index  # noqa: F401  registers block types
     return INDEX_TYPES[name]
+
+
+def is_plain_ef_index(index):
+    """True for freq_index<compact_elias_fano, positive<strict_elias_fano>>
+    instances — the compositions with exactly one EF segment per stream."""
+    from ..sequences.ef import CompactEliasFano, StrictEliasFano
+    from ..sequences.selectors import PositiveSequence
+
+    d = getattr(index, "docs_sequence_type", None)
+    f = getattr(index, "freqs_sequence_type", None)
+    return (
+        d is CompactEliasFano
+        and isinstance(f, type)
+        and issubclass(f, PositiveSequence)
+        and f.base_sequence_type is StrictEliasFano
+    )

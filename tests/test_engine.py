@@ -126,3 +126,27 @@ def test_resident_pallas_ranked(coll):
         assert len(got[i]) == len(exp)
         if exp:
             np.testing.assert_allclose(got[i], exp, rtol=1e-3, err_msg=f"q={terms}")
+
+
+def test_fast_tile_tables_match_generic(coll):
+    """The vectorized ef tile-table builder must equal the generic walk."""
+    from ds2i_tpu.engine.tiles_fast import build_tile_tables_ef
+    from ds2i_tpu.engine.tiles import build_tile_tables as generic
+    import ds2i_tpu.engine.tiles as tiles_mod
+
+    c, index = build(coll, "ef")
+    fast = build_tile_tables_ef(index)
+    # force the generic path by bypassing the dispatch
+    import ds2i_tpu.index.types as types_mod
+    orig = types_mod.is_plain_ef_index
+    types_mod.is_plain_ef_index = lambda i: False
+    try:
+        slow = generic(index)
+    finally:
+        types_mod.is_plain_ef_index = orig
+    np.testing.assert_array_equal(fast.docs, slow.docs)
+    np.testing.assert_array_equal(fast.freqs, slow.freqs)
+    np.testing.assert_array_equal(fast.tile_list, slow.tile_list)
+    np.testing.assert_array_equal(fast.list_tile_start, slow.list_tile_start)
+    np.testing.assert_array_equal(fast.win_words, slow.win_words)
+    np.testing.assert_array_equal(fast.lb_words, slow.lb_words)
