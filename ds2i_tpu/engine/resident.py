@@ -171,13 +171,14 @@ class ResidentEngine:
     MIN_L = 64
 
     def __init__(self, index, wdata=None, scorer=BM25, max_part_slots=1 << 21,
-                 max_part_queries=16384, pallas=None):
+                 max_part_queries=16384, pallas=None, devices=None):
         self.index = index
         self.num_docs = index.num_docs()
         self.scorer = scorer
         self.max_part_slots = max_part_slots
         self.max_part_queries = max_part_queries
         self._pallas_req = pallas
+        self.devices = list(devices) if devices else None
 
         self.norm_lens = (
             jnp.asarray(wdata.norm_lens) if wdata is not None else jnp.ones(self.num_docs, jnp.float32)
@@ -210,6 +211,19 @@ class ResidentEngine:
         self.tiles_docs = with_pad(t.docs)
         self.tiles_freqs = with_pad(t.freqs)
         self.pad_tile = nt
+        if self.devices:
+            # replicate the resident state on every serving device; parts
+            # round-robin across them (query data parallelism over ICI-
+            # attached chips — the scale-out axis for batch serving)
+            self._replicas = [
+                tuple(jax.device_put(a, d) for a in (
+                    self.docs_words, self.freqs_words, self.tiles_docs,
+                    self.tiles_freqs, self.norm_lens,
+                ))
+                for d in self.devices
+            ]
+        else:
+            self._replicas = None
 
         # host-side layout tables
         self.list_tile_start = t.list_tile_start
@@ -443,18 +457,28 @@ class ResidentEngine:
         debug = _os.environ.get("DS2I_ENGINE_DEBUG")
         t0 = _time.time()
         pending = []
-        for p in plan["plans"]:
+        for pi, p in enumerate(plan["plans"]):
             bb = p["buckets"]
+            if self._replicas:
+                dev = self.devices[pi % len(self.devices)]
+                dw, fw, td, tf, nlr = self._replicas[pi % len(self.devices)]
+                put = lambda a: jax.device_put(jnp.asarray(a), dev)
+            else:
+                dw, fw, td, tf, nlr = (
+                    self.docs_words, self.freqs_words, self.tiles_docs,
+                    self.tiles_freqs, self.norm_lens,
+                )
+                put = jnp.asarray
             out = _resident_step(
-                self.docs_words,
-                self.freqs_words,
-                self.tiles_docs,
-                self.tiles_freqs,
-                self.norm_lens,
-                jnp.asarray(p["gtile_ids"]),
-                tuple(jnp.asarray(b["dir"]) for b in bb),
-                tuple(jnp.asarray(b["qwtab"]) for b in bb),
-                tuple(jnp.asarray(b["tgt"]) for b in bb),
+                dw,
+                fw,
+                td,
+                tf,
+                nlr,
+                put(p["gtile_ids"]),
+                tuple(put(b["dir"]) for b in bb),
+                tuple(put(b["qwtab"]) for b in bb),
+                tuple(put(b["tgt"]) for b in bb),
                 groups=p["groups"],
                 buckets=tuple((b["Bb"], b["L"], len(b["rows"])) for b in bb),
                 sent_dir=p["sent_dir"],

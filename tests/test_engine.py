@@ -150,3 +150,24 @@ def test_fast_tile_tables_match_generic(coll):
     np.testing.assert_array_equal(fast.list_tile_start, slow.list_tile_start)
     np.testing.assert_array_equal(fast.win_words, slow.win_words)
     np.testing.assert_array_equal(fast.lb_words, slow.lb_words)
+
+
+def test_resident_multi_device(coll):
+    """Parts round-robin across devices (query data parallelism); results
+    must equal the single-device engine."""
+    import jax
+
+    cpus = jax.local_devices(backend="cpu")
+    if len(cpus) < 4:
+        pytest.skip("needs multi-device CPU mesh")
+    c, index = build(coll, "ef")
+    wdata = WandData.build(read_sizes(coll), c)
+    queries = read_queries(coll + ".queries")[:40]
+    single = ResidentEngine(index, wdata)
+    multi = ResidentEngine(index, wdata, devices=cpus[:4],
+                           max_part_queries=8, max_part_slots=1 << 14)
+    a = single.ranked_and(queries, k=10)
+    b = multi.ranked_and(queries, k=10)
+    assert len(multi.prepare(queries)["plans"]) >= 4
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, rtol=1e-6)
