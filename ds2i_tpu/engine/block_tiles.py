@@ -1,0 +1,178 @@
+"""Host-side tile tables for block-codec indexes (block_freq_index).
+
+A tile is one 128-integer block (block_posting_list.hpp:13-53): docs
+codec bytes then freqs codec bytes, d-gapped docs with a per-block base
+(the previous block's max + 1), freqs stored minus one. Full blocks use
+the index's codec; partial tail blocks are always interpolative
+(block_codecs.hpp:196-199).
+
+Per block and per stream this records the codec kind plus the O(1)
+decode constants the device kernels need (bit positions into the
+u32-viewed byte stream, bit width, exception count/offset, known sum).
+Finding the docs/freqs split inside a block requires walking the docs
+codec's length: O(1) for OptPFor (slot words + a Simple16 word walk),
+a host-side decode for interpolative tails (bounded by one partial
+block per list).
+
+Field column reuse (same (Nt, N_FIELDS) table shape as the EF tiles so
+the resident engine shares its gather machinery):
+  F_KIND      KIND_OPT / KIND_INTERP
+  col 1       stream bit0 (OPT: slot section; INTERP: after any vbyte)
+  col 2       OPT: bit width b
+  col 3       OPT: n_exceptions
+  col 4       OPT: exception-stream bit0; INTERP: sum_of_values
+  F_BASE      docs: block base (prev max + 1); freqs: 0
+  F_NVALS     values in the block
+"""
+
+import numpy as np
+
+from ..codecs.interpolative import UNKNOWN_SUM, InterpolativeBlock
+from ..codecs.optpfor import OptPForBlock
+from ..codecs.simple16 import S16_MODES
+from ..codecs.vbyte import TightVariableByte
+from ..index.block_index import BlockPostingList
+from .tiles import F_BASE, F_KIND, F_NVALS, N_FIELDS, TILE, TileTables
+
+KIND_OPT = 8
+KIND_INTERP = 9
+
+BF_BIT0 = 1
+BF_B = 2
+BF_NEX = 3
+BF_EX0 = 4  # OPT: exception bit0; INTERP: sum_of_values
+
+_MODE_COUNT = [sum(c for c, _ in mode) for mode in S16_MODES]
+
+# bucket tables for group statics
+_WS_BUCKETS = (6, 18, 34, 66, 131)
+_E_BUCKETS = (0, 4, 16, 64, 128)
+_NC_BUCKETS = (32, 64, 128)
+_WIN_BUCKETS = (4, 16, 64, 180)
+
+
+def _bucket(v, table):
+    for t in table:
+        if v <= t:
+            return t
+    return table[-1]
+
+
+def _s16_words(data, pos, nvals):
+    """Words consumed by a Simple16 stream of nvals values at byte pos."""
+    got = w = 0
+    while got < nvals:
+        word = int(data[pos + 4 * w]) | (int(data[pos + 4 * w + 1]) << 8) | (
+            int(data[pos + 4 * w + 2]) << 16) | (int(data[pos + 4 * w + 3]) << 24)
+        got += _MODE_COUNT[word >> 28]
+        w += 1
+    return w
+
+
+def _opt_stream(data, pos, cur, row):
+    """Fill OPT fields for one stream at byte pos; returns end byte."""
+    b = int(data[pos])
+    nex = int(data[pos + 1])
+    sw = (cur * min(b, 32) + 31) // 32
+    ex_pos = pos + 2 + 4 * sw
+    ew = _s16_words(data, ex_pos, 2 * nex) if nex else 0
+    row[F_KIND] = KIND_OPT
+    row[BF_BIT0] = (pos + 2) * 8
+    row[BF_B] = b
+    row[BF_NEX] = nex
+    row[BF_EX0] = ex_pos * 8
+    row[F_NVALS] = cur
+    return ex_pos + 4 * ew, b, nex
+
+
+def _interp_stream(data, pos, cur, known_sum, row):
+    """Fill INTERP fields; returns (end byte, window bits)."""
+    if known_sum == UNKNOWN_SUM:
+        vals, q = TightVariableByte.decode(data, pos, 1)
+        s = int(vals[0])
+    else:
+        s, q = int(known_sum), pos
+    _, end = InterpolativeBlock.decode(data, pos, known_sum, cur)
+    row[F_KIND] = KIND_INTERP
+    row[BF_BIT0] = q * 8
+    row[BF_EX0] = s
+    row[F_NVALS] = cur
+    return end, (end - q) * 8
+
+
+def build_block_tables(index):
+    """TileTables for a block_freq_index plus per-tile group statics.
+
+    Returns (tables, statics_list, tile_gid) where statics_list[g] is the
+    hashable static tuple of group class g and tile_gid maps each tile to
+    its class."""
+    codec = index.codec
+    if codec not in (OptPForBlock, InterpolativeBlock):
+        raise TypeError(
+            f"device block engine supports optpfor/interpolative codecs, not {codec.__name__}"
+        )
+    data = np.asarray(index.lists, dtype=np.uint8)
+    size = index.size()
+
+    d_rows, f_rows, tile_list = [], [], []
+    statics_index = {}
+    statics_list = []
+    tile_gid = []
+    list_tile_start = [0]
+
+    for i in range(size):
+        n, blocks, maxs, bends, pos = BlockPostingList.parse(data, index.get_offset(i), codec)
+        block_base = 0
+        p = int(pos)
+        for bi in range(blocks):
+            lo = bi * TILE
+            cur = min(TILE, n - lo)
+            last = int(maxs[bi])
+            drow = np.zeros(N_FIELDS, dtype=np.int64)
+            frow = np.zeros(N_FIELDS, dtype=np.int64)
+
+            if cur == TILE and codec is OptPForBlock:
+                p2, bd, nexd = _opt_stream(data, p, cur, drow)
+                p3, bf, nexf = _opt_stream(data, p2, cur, frow)
+                st = (
+                    "opt",
+                    _bucket((31 + cur * min(bd, 32)) // 32 + 1, _WS_BUCKETS),
+                    _bucket(nexd, _E_BUCKETS),
+                    _bucket((31 + cur * min(bf, 32)) // 32 + 1, _WS_BUCKETS),
+                    _bucket(nexf, _E_BUCKETS),
+                    TILE,
+                )
+            else:
+                sum_d = last - block_base - (cur - 1)
+                p2, bits_d = _interp_stream(data, p, cur, sum_d, drow)
+                p3, bits_f = _interp_stream(data, p2, cur, UNKNOWN_SUM, frow)
+                nc = _bucket(cur, _NC_BUCKETS)
+                st = (
+                    "interp",
+                    _bucket((31 + bits_d) // 32 + 1, _WIN_BUCKETS),
+                    _bucket((31 + bits_f) // 32 + 1, _WIN_BUCKETS),
+                    nc,
+                )
+            drow[F_BASE] = block_base
+            gid = statics_index.get(st)
+            if gid is None:
+                gid = len(statics_list)
+                statics_index[st] = gid
+                statics_list.append(st)
+            d_rows.append(drow)
+            f_rows.append(frow)
+            tile_list.append(i)
+            tile_gid.append(gid)
+            p = p3
+            block_base = last + 1
+        list_tile_start.append(len(tile_list))
+
+    tables = TileTables(
+        docs=np.array(d_rows, dtype=np.int64).reshape(-1, N_FIELDS).astype(np.int32),
+        freqs=np.array(f_rows, dtype=np.int64).reshape(-1, N_FIELDS).astype(np.int32),
+        tile_list=np.array(tile_list, dtype=np.int64),
+        list_tile_start=np.array(list_tile_start, dtype=np.int64),
+        win_words=np.zeros(len(tile_list), dtype=np.int32),
+        lb_words=np.zeros(len(tile_list), dtype=np.int32),
+    )
+    return tables, statics_list, np.array(tile_gid, dtype=np.int64)

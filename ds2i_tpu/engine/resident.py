@@ -39,10 +39,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import pallas_decode
+from ..ops.interp_device import interp_decode
+from ..ops.optpfor_device import optpfor_decode
 from ..queries.bm25 import BM25
 from ..queries.parsing import query_freqs
 from .tile_executor import _decode_group
-from .tiles import F_NVALS, F_PREV_CUM, N_FIELDS, TILE, build_tile_tables
+from .tiles import F_BASE, F_NVALS, F_PREV_CUM, N_FIELDS, TILE, build_tile_tables
 
 _F32 = np.float32
 _I32 = np.int32
@@ -82,24 +84,62 @@ def _resident_step(
     pallas=0,  # 0: XLA decode, 1: pallas kernel, 2: pallas interpret (tests)
 ):
     docs_blocks, w_blocks = [], []
-    for off, R, W, WL, T in groups:
+    for off, R, st in groups:
+        kind, T = st[0], st[-1]
         ids = gtile_ids[off : off + R]
         df = tiles_docs[ids]
         ff = tiles_freqs[ids]
-        if pallas:
-            doc, freq_i = pallas_decode.decode_pair(
-                docs_words, freqs_words, df, ff, W, WL, T, num_docs,
-                interpret=(pallas == 2),
+        j = jnp.arange(T, dtype=jnp.int32)[None, :]
+        valid = j < df[:, F_NVALS][:, None]
+        if kind == "ef":
+            W, WL = st[1], st[2]
+            if pallas:
+                doc, freq_i = pallas_decode.decode_pair(
+                    docs_words, freqs_words, df, ff, W, WL, T, num_docs,
+                    interpret=(pallas == 2),
+                )
+                freq = freq_i.astype(jnp.float32)
+            else:
+                dv = _decode_group(docs_words, df, W, WL, T)  # (R, T)
+                fv = _decode_group(freqs_words, ff, W, WL, T)
+                doc = jnp.where(valid, dv, num_docs)
+                prev = jnp.concatenate([ff[:, F_PREV_CUM][:, None], fv[:, :-1]], axis=1)
+                freq = jnp.where(valid, fv - prev, 0).astype(jnp.float32)
+        elif kind == "opt":
+            from .block_tiles import BF_B, BF_BIT0, BF_EX0, BF_NEX
+
+            WSd, Ed, WSf, Ef = st[1:5]
+            gaps = optpfor_decode(
+                docs_words, df[:, BF_BIT0], df[:, BF_B], df[:, BF_NEX], df[:, BF_EX0],
+                WS=WSd, E=Ed, T=T,
             )
-            freq = freq_i.astype(jnp.float32)
+            doc = df[:, F_BASE][:, None] - 1 + jnp.cumsum(gaps + 1, axis=1)
+            doc = jnp.where(valid, doc, num_docs)
+            fv = optpfor_decode(
+                freqs_words, ff[:, BF_BIT0], ff[:, BF_B], ff[:, BF_NEX], ff[:, BF_EX0],
+                WS=WSf, E=Ef, T=T,
+            )
+            freq = jnp.where(valid, fv + 1, 0).astype(jnp.float32)
+        elif kind == "interp":
+            from .block_tiles import BF_BIT0, BF_EX0
+
+            Wd, Wf = st[1], st[2]
+
+            def win_of(words, fld, W):
+                nw = words.shape[0]
+                widx = (fld[:, BF_BIT0] >> 5)[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+                return words[jnp.clip(widx, 0, nw - 1)], fld[:, BF_BIT0] & 31
+
+            wind, rel0d = win_of(docs_words, df, Wd)
+            cum = interp_decode(wind, rel0d, df[:, F_NVALS], df[:, BF_EX0], NC=T, W=Wd, steps=T - 1)
+            doc = df[:, F_BASE][:, None] - 1 + cum + j + 1
+            doc = jnp.where(valid, doc, num_docs)
+            winf, rel0f = win_of(freqs_words, ff, Wf)
+            cumf = interp_decode(winf, rel0f, ff[:, F_NVALS], ff[:, BF_EX0], NC=T, W=Wf, steps=T - 1)
+            prevf = jnp.concatenate([jnp.zeros((R, 1), jnp.int32), cumf[:, :-1]], axis=1)
+            freq = jnp.where(valid, cumf - prevf + 1, 0).astype(jnp.float32)
         else:
-            j = jnp.arange(T, dtype=jnp.int32)[None, :]
-            dv = _decode_group(docs_words, df, W, WL, T)  # (R, T)
-            fv = _decode_group(freqs_words, ff, W, WL, T)
-            valid = j < df[:, F_NVALS][:, None]
-            doc = jnp.where(valid, dv, num_docs)
-            prev = jnp.concatenate([ff[:, F_PREV_CUM][:, None], fv[:, :-1]], axis=1)
-            freq = jnp.where(valid, fv - prev, 0).astype(jnp.float32)
+            raise ValueError(f"unknown group kind {kind}")
         if ("or" in ops) or ("and" in ops):
             nl = norm_lens[jnp.clip(doc, 0, num_docs - 1)]
             k1, b = jnp.float32(BM25.k1), jnp.float32(BM25.b)
@@ -183,8 +223,6 @@ class ResidentEngine:
         self.norm_lens = (
             jnp.asarray(wdata.norm_lens) if wdata is not None else jnp.ones(self.num_docs, jnp.float32)
         )
-        self.docs_words = jnp.asarray(index.docs_sequences.bits_bv.words.view(np.uint32))
-        self.freqs_words = jnp.asarray(index.freqs_sequences.bits_bv.words.view(np.uint32))
         # pallas decode only on a real TPU placement (the axon plugin makes
         # default_backend() report tpu even when arrays land on cpu)
         import os as _os
@@ -195,11 +233,13 @@ class ResidentEngine:
             # kernel at these group shapes (see ops/pallas_decode.py)
             self._pallas_req = {"0": 0, "1": 1, "interpret": 2}.get(env, 0)
         self.pallas = self._pallas_req
-
-        t = build_tile_tables(index)
+        num_lists = index.size()
+        if hasattr(index, "docs_sequences"):
+            t = self._init_ef(index)
+        else:
+            t = self._init_block(index)
         self.tiles = t
         nt = len(t.tile_list)
-        num_lists = index.size()
 
         # resident field tables, one trailing pad row (kind=-1, n_vals=0)
         def with_pad(a):
@@ -225,26 +265,54 @@ class ResidentEngine:
         else:
             self._replicas = None
 
-        # host-side layout tables
+        # host-side layout tables (shared across tile kinds)
         self.list_tile_start = t.list_tile_start
         self.list_tiles = np.diff(t.list_tile_start)
         nvals = t.docs[:, F_NVALS].astype(np.int64)
-        self.tile_blocks = (nvals + BLOCK - 1) // BLOCK  # blocks per tile
+        self.tile_blocks = (nvals + BLOCK - 1) // BLOCK  # 32-slot blocks per tile
         self.list_n = np.zeros(num_lists, dtype=np.int64)
         np.add.at(self.list_n, t.tile_list, nvals)
         self.list_blocks = np.zeros(num_lists, dtype=np.int64)
         np.add.at(self.list_blocks, t.tile_list, self.tile_blocks)
-        # pow4 decode buckets per tile (same policy as tile_executor)
+
+    def _init_ef(self, index):
+        # EF-family tiles: group statics are ("ef", W, WL, T)
+        t = build_tile_tables(index)
+        nvals = t.docs[:, F_NVALS].astype(np.int64)
         ww = np.maximum(t.win_words, 1)
         wl = np.maximum(t.lb_words, 1)
         wb = 1 << (2 * np.ceil(np.log2(np.maximum(ww, 4)) / 2).astype(np.int64))
         lb = 1 << (2 * np.ceil(np.log2(np.maximum(wl, 4)) / 2).astype(np.int64))
-        self.tile_T = np.clip(
-            2 ** np.ceil(np.log2(np.maximum(nvals, 1))).astype(np.int64), BLOCK, TILE
-        )
-        self.tile_bkey = self.tile_T * (1 << 22) + wb * 1024 + lb
-        self.tile_wb = wb
-        self.tile_lb = lb
+        tT = np.clip(2 ** np.ceil(np.log2(np.maximum(nvals, 1))).astype(np.int64), BLOCK, TILE)
+        key = tT * (1 << 22) + wb * 1024 + lb
+        uniq, inv = np.unique(key, return_inverse=True)
+        self.group_statics = [
+            ("ef", int((int(kv) >> 10) & 1023), int(int(kv) & 1023), int(int(kv) >> 22))
+            for kv in uniq
+        ]
+        self.tile_gid = inv.astype(np.int64)
+        self._empty_statics = ("ef", 4, 4, TILE)
+        self.docs_words = jnp.asarray(index.docs_sequences.bits_bv.words.view(np.uint32))
+        self.freqs_words = jnp.asarray(index.freqs_sequences.bits_bv.words.view(np.uint32))
+        return t
+
+    def _init_block(self, index):
+        # block_freq_index tiles: one tile per 128-int block; statics are
+        # ("opt", WSd, Ed, WSf, Ef, 128) or ("interp", Wd, Wf, NC)
+        from .block_tiles import build_block_tables
+
+        t, statics_list, tile_gid = build_block_tables(index)
+        self.group_statics = statics_list
+        self.tile_gid = tile_gid
+        self._empty_statics = ("interp", 4, 4, BLOCK)
+        data = np.asarray(index.lists, dtype=np.uint8)
+        assert len(data) * 8 < 2**31, "device block engine limit: 256MB stream"
+        pad = (-len(data)) % 4
+        words = np.concatenate([data, np.zeros(pad + 8, np.uint8)]).view("<u4")
+        w = jnp.asarray(words.astype(np.uint32))
+        self.docs_words = w
+        self.freqs_words = w
+        return t
 
     # -- host batch layout ----------------------------------------------------
 
@@ -282,8 +350,8 @@ class ResidentEngine:
         else:
             utidx = np.zeros(0, dtype=np.int64)
 
-        # --- group by pow4 decode bucket, group-major row ids
-        bkey = self.tile_bkey[utidx] if ntiles else np.zeros(0, np.int64)
+        # --- group by decode class, group-major row ids
+        bkey = self.tile_gid[utidx] if ntiles else np.zeros(0, np.int64)
         order = np.argsort(bkey, kind="stable")
         sk = bkey[order]
         bnd = (np.nonzero(np.diff(sk))[0] + 1) if ntiles else np.zeros(0, np.int64)
@@ -302,22 +370,21 @@ class ResidentEngine:
                 continue
             sel = order[lo_i:hi_i]
             cnt = hi_i - lo_i
-            T = int(self.tile_T[utidx[sel[0]]])
+            st = self.group_statics[int(bkey[sel[0]])]
+            T = st[-1]
             bpt = T // BLOCK
             # last group gets one guaranteed pad row (the sentinel block)
             R = _pow2_at_least(cnt + (1 if gi == ngroups - 1 else 0), lo=8)
             ids = np.full(R, self.pad_tile, dtype=_I32)
             ids[:cnt] = utidx[sel]
             tblk[sel] = gblk + np.arange(cnt) * bpt
-            groups.append(
-                (off, R, int(self.tile_wb[utidx[sel[0]]]), int(self.tile_lb[utidx[sel[0]]]), T)
-            )
+            groups.append((off, R, st))
             gids_parts.append(ids)
             sent_blk = gblk + cnt * bpt  # first pad row's block (valid for last group)
             off += R
             gblk += R * bpt
         if not groups:
-            groups = [(0, 8, 4, 4, TILE)]
+            groups = [(0, 8, self._empty_statics)]
             gids_parts = [np.full(8, self.pad_tile, dtype=_I32)]
             off = 8
             sent_blk = 0

@@ -171,3 +171,26 @@ def test_resident_multi_device(coll):
     assert len(multi.prepare(queries)["plans"]) >= 4
     for x, y in zip(a, b):
         np.testing.assert_allclose(x, y, rtol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["block_optpfor", "block_interpolative"])
+def test_resident_block_index(coll, name):
+    """The device block engine (OptPFor + interpolative kernels) must match
+    the oracle on boolean counts and ranked top-k."""
+    c, index = build(coll, name)
+    wdata = WandData.build(read_sizes(coll), c)
+    engine = ResidentEngine(index, wdata)
+    queries = read_queries(coll + ".queries")[:30]
+    got_and = engine.and_counts(queries)
+    got_or = engine.or_counts(queries)
+    got_rand = engine.ranked_and(queries, k=10)
+    got_ror = engine.ranked_or(queries, k=10)
+    for i, terms in enumerate(queries):
+        assert got_and[i] == and_query(index, terms), f"AND q={terms}"
+        assert got_or[i] == or_query(index, terms), f"OR q={terms}"
+        exp_a = ranked_and_query(index, wdata, terms, k=10)
+        exp_o = ranked_or_query(index, wdata, terms, k=10)
+        assert len(got_rand[i]) == len(exp_a)
+        if exp_a:
+            np.testing.assert_allclose(got_rand[i], exp_a, rtol=1e-3, err_msg=f"q={terms}")
+        np.testing.assert_allclose(got_ror[i], exp_o, rtol=1e-3, err_msg=f"q={terms}")
