@@ -82,8 +82,7 @@ def main():
             b.add_posting_list(len(docs), docs, freqs, int(np.asarray(freqs, dtype=np.int64).sum()))
         index = b.build()
         save_index(index, idx_path)
-        log(f"built {INDEX_TYPE} index in {time.time()-t0:.1f}s "
-            f"({index.docs_sequences.bits_bv.nbits / 8 / 1e6:.1f} MB docs bits)")
+        log(f"built {INDEX_TYPE} index in {time.time()-t0:.1f}s")
 
     wdata = WandData.build(read_sizes(base), coll)
     queries = read_queries(base + ".queries")

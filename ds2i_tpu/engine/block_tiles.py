@@ -28,14 +28,17 @@ the resident engine shares its gather machinery):
 import numpy as np
 
 from ..codecs.interpolative import UNKNOWN_SUM, InterpolativeBlock
+from ..codecs.mixed import INTERPOLATIVE, MixedBlock, PFOR, VARINT
 from ..codecs.optpfor import OptPForBlock
 from ..codecs.simple16 import S16_MODES
+from ..codecs.varint import VarintG8IUBlock
 from ..codecs.vbyte import TightVariableByte
 from ..index.block_index import BlockPostingList
 from .tiles import F_BASE, F_KIND, F_NVALS, N_FIELDS, TILE, TileTables
 
 KIND_OPT = 8
 KIND_INTERP = 9
+KIND_VAR = 10
 
 BF_BIT0 = 1
 BF_B = 2
@@ -49,6 +52,7 @@ _WS_BUCKETS = (6, 18, 34, 66, 131)
 _E_BUCKETS = (0, 4, 16, 64, 128)
 _NC_BUCKETS = (32, 64, 128)
 _WIN_BUCKETS = (4, 16, 64, 180)
+_G_BUCKETS = (24, 40, 64)
 
 
 def _bucket(v, table):
@@ -100,6 +104,39 @@ def _interp_stream(data, pos, cur, known_sum, row):
     return end, (end - q) * 8
 
 
+def _var_stream(data, pos, cur, row):
+    """Fill VARINT fields (BF_BIT0 holds the BYTE offset); returns end."""
+    got = g = 0
+    while got < cur:
+        got += bin(int(data[pos + 9 * g])).count("1")
+        g += 1
+    row[F_KIND] = KIND_VAR
+    row[BF_BIT0] = pos
+    row[BF_B] = g  # group count
+    row[F_NVALS] = cur
+    return pos + 9 * g, g
+
+
+def _full_stream(data, pos, cur, known_sum, codec, row):
+    """One full-block stream of any supported codec; returns
+    (end byte, stream static tuple)."""
+    if codec is MixedBlock:
+        t = int(data[pos])
+        pos += 1
+        codec = {PFOR: OptPForBlock, VARINT: VarintG8IUBlock,
+                 INTERPOLATIVE: InterpolativeBlock}[t]
+    if codec is OptPForBlock:
+        end, b, nex = _opt_stream(data, pos, cur, row)
+        return end, ("opt",
+                     _bucket((31 + cur * min(b, 32)) // 32 + 1, _WS_BUCKETS),
+                     _bucket(nex, _E_BUCKETS))
+    if codec is VarintG8IUBlock:
+        end, g = _var_stream(data, pos, cur, row)
+        return end, ("var", _bucket(g, _G_BUCKETS))
+    end, bits = _interp_stream(data, pos, cur, known_sum, row)
+    return end, ("interp", _bucket((31 + bits) // 32 + 1, _WIN_BUCKETS))
+
+
 def build_block_tables(index):
     """TileTables for a block_freq_index plus per-tile group statics.
 
@@ -107,9 +144,9 @@ def build_block_tables(index):
     hashable static tuple of group class g and tile_gid maps each tile to
     its class."""
     codec = index.codec
-    if codec not in (OptPForBlock, InterpolativeBlock):
+    if codec not in (OptPForBlock, InterpolativeBlock, VarintG8IUBlock, MixedBlock):
         raise TypeError(
-            f"device block engine supports optpfor/interpolative codecs, not {codec.__name__}"
+            f"device block engine has no decode kernels for {codec.__name__}"
         )
     data = np.asarray(index.lists, dtype=np.uint8)
     size = index.size()
@@ -131,26 +168,19 @@ def build_block_tables(index):
             drow = np.zeros(N_FIELDS, dtype=np.int64)
             frow = np.zeros(N_FIELDS, dtype=np.int64)
 
-            if cur == TILE and codec is OptPForBlock:
-                p2, bd, nexd = _opt_stream(data, p, cur, drow)
-                p3, bf, nexf = _opt_stream(data, p2, cur, frow)
-                st = (
-                    "opt",
-                    _bucket((31 + cur * min(bd, 32)) // 32 + 1, _WS_BUCKETS),
-                    _bucket(nexd, _E_BUCKETS),
-                    _bucket((31 + cur * min(bf, 32)) // 32 + 1, _WS_BUCKETS),
-                    _bucket(nexf, _E_BUCKETS),
-                    TILE,
-                )
+            sum_d = last - block_base - (cur - 1)
+            if cur == TILE:
+                p2, dst = _full_stream(data, p, cur, sum_d, codec, drow)
+                p3, fst = _full_stream(data, p2, cur, UNKNOWN_SUM, codec, frow)
+                st = ("blk", dst, fst, TILE)
             else:
-                sum_d = last - block_base - (cur - 1)
                 p2, bits_d = _interp_stream(data, p, cur, sum_d, drow)
                 p3, bits_f = _interp_stream(data, p2, cur, UNKNOWN_SUM, frow)
                 nc = _bucket(cur, _NC_BUCKETS)
                 st = (
-                    "interp",
-                    _bucket((31 + bits_d) // 32 + 1, _WIN_BUCKETS),
-                    _bucket((31 + bits_f) // 32 + 1, _WIN_BUCKETS),
+                    "blk",
+                    ("interp", _bucket((31 + bits_d) // 32 + 1, _WIN_BUCKETS)),
+                    ("interp", _bucket((31 + bits_f) // 32 + 1, _WIN_BUCKETS)),
                     nc,
                 )
             drow[F_BASE] = block_base

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from ..ops import pallas_decode
 from ..ops.interp_device import interp_decode
 from ..ops.optpfor_device import optpfor_decode
+from ..ops.varint_device import varint_decode
 from ..queries.bm25 import BM25
 from ..queries.parsing import query_freqs
 from .tile_executor import _decode_group
@@ -105,39 +106,42 @@ def _resident_step(
                 doc = jnp.where(valid, dv, num_docs)
                 prev = jnp.concatenate([ff[:, F_PREV_CUM][:, None], fv[:, :-1]], axis=1)
                 freq = jnp.where(valid, fv - prev, 0).astype(jnp.float32)
-        elif kind == "opt":
+        elif kind == "blk":
             from .block_tiles import BF_B, BF_BIT0, BF_EX0, BF_NEX
 
-            WSd, Ed, WSf, Ef = st[1:5]
-            gaps = optpfor_decode(
-                docs_words, df[:, BF_BIT0], df[:, BF_B], df[:, BF_NEX], df[:, BF_EX0],
-                WS=WSd, E=Ed, T=T,
-            )
-            doc = df[:, F_BASE][:, None] - 1 + jnp.cumsum(gaps + 1, axis=1)
-            doc = jnp.where(valid, doc, num_docs)
-            fv = optpfor_decode(
-                freqs_words, ff[:, BF_BIT0], ff[:, BF_B], ff[:, BF_NEX], ff[:, BF_EX0],
-                WS=WSf, E=Ef, T=T,
-            )
-            freq = jnp.where(valid, fv + 1, 0).astype(jnp.float32)
-        elif kind == "interp":
-            from .block_tiles import BF_BIT0, BF_EX0
+            def block_stream(words, fld, stat, is_docs):
+                """Decode one stream of a block group; returns (doc, None)
+                for docs or (None, freq) for freqs."""
+                sk = stat[0]
+                if sk == "opt":
+                    raw = optpfor_decode(
+                        words, fld[:, BF_BIT0], fld[:, BF_B], fld[:, BF_NEX],
+                        fld[:, BF_EX0], WS=stat[1], E=stat[2], T=T,
+                    )
+                elif sk == "var":
+                    raw = varint_decode(words, fld[:, BF_BIT0], fld[:, BF_B], G=stat[1], T=T)
+                elif sk == "interp":
+                    nw = words.shape[0]
+                    W = stat[1]
+                    widx = (fld[:, BF_BIT0] >> 5)[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+                    win = words[jnp.clip(widx, 0, nw - 1)]
+                    cum = interp_decode(
+                        win, fld[:, BF_BIT0] & 31, fld[:, F_NVALS], fld[:, BF_EX0],
+                        NC=T, W=W, steps=T - 1,
+                    )
+                    if is_docs:
+                        return fld[:, F_BASE][:, None] - 1 + cum + j + 1
+                    prevf = jnp.concatenate([jnp.zeros((R, 1), jnp.int32), cum[:, :-1]], axis=1)
+                    return cum - prevf + 1
+                else:
+                    raise ValueError(f"unknown stream kind {sk}")
+                if is_docs:
+                    return fld[:, F_BASE][:, None] - 1 + jnp.cumsum(raw + 1, axis=1)
+                return raw + 1
 
-            Wd, Wf = st[1], st[2]
-
-            def win_of(words, fld, W):
-                nw = words.shape[0]
-                widx = (fld[:, BF_BIT0] >> 5)[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-                return words[jnp.clip(widx, 0, nw - 1)], fld[:, BF_BIT0] & 31
-
-            wind, rel0d = win_of(docs_words, df, Wd)
-            cum = interp_decode(wind, rel0d, df[:, F_NVALS], df[:, BF_EX0], NC=T, W=Wd, steps=T - 1)
-            doc = df[:, F_BASE][:, None] - 1 + cum + j + 1
-            doc = jnp.where(valid, doc, num_docs)
-            winf, rel0f = win_of(freqs_words, ff, Wf)
-            cumf = interp_decode(winf, rel0f, ff[:, F_NVALS], ff[:, BF_EX0], NC=T, W=Wf, steps=T - 1)
-            prevf = jnp.concatenate([jnp.zeros((R, 1), jnp.int32), cumf[:, :-1]], axis=1)
-            freq = jnp.where(valid, cumf - prevf + 1, 0).astype(jnp.float32)
+            dstat, fstat = st[1], st[2]
+            doc = jnp.where(valid, block_stream(docs_words, df, dstat, True), num_docs)
+            freq = jnp.where(valid, block_stream(freqs_words, ff, fstat, False), 0).astype(jnp.float32)
         else:
             raise ValueError(f"unknown group kind {kind}")
         if ("or" in ops) or ("and" in ops):
@@ -304,7 +308,7 @@ class ResidentEngine:
         t, statics_list, tile_gid = build_block_tables(index)
         self.group_statics = statics_list
         self.tile_gid = tile_gid
-        self._empty_statics = ("interp", 4, 4, BLOCK)
+        self._empty_statics = ("blk", ("interp", 4), ("interp", 4), BLOCK)
         data = np.asarray(index.lists, dtype=np.uint8)
         assert len(data) * 8 < 2**31, "device block engine limit: 256MB stream"
         pad = (-len(data)) % 4

@@ -173,7 +173,7 @@ def test_resident_multi_device(coll):
         np.testing.assert_allclose(x, y, rtol=1e-6)
 
 
-@pytest.mark.parametrize("name", ["block_optpfor", "block_interpolative"])
+@pytest.mark.parametrize("name", ["block_optpfor", "block_interpolative", "block_varint"])
 def test_resident_block_index(coll, name):
     """The device block engine (OptPFor + interpolative kernels) must match
     the oracle on boolean counts and ranked top-k."""
@@ -194,3 +194,26 @@ def test_resident_block_index(coll, name):
         if exp_a:
             np.testing.assert_allclose(got_rand[i], exp_a, rtol=1e-3, err_msg=f"q={terms}")
         np.testing.assert_allclose(got_ror[i], exp_o, rtol=1e-3, err_msg=f"q={terms}")
+
+
+def test_resident_block_mixed(coll):
+    """block_mixed (per-block codec choice) through the device engine."""
+    from ds2i_tpu.index.hybrid import rebuild_mixed
+
+    c, index = build(coll, "block_optpfor")
+    wdata = WandData.build(read_sizes(coll), c)
+    nblocks = sum(len(index.get_blocks(l)) for l in range(index.size()))
+    rng = np.random.RandomState(2)
+    types = rng.choice([0, 1, 2], size=2 * nblocks)  # pfor / varint / interp
+    params_arr = np.where(types == 0, 10, 0)  # pfor b = POSS_LOGS[10] = 10
+    mixed = rebuild_mixed(index, types, params_arr)
+    engine = ResidentEngine(mixed, wdata)
+    queries = read_queries(coll + ".queries")[:20]
+    got_and = engine.and_counts(queries)
+    got_rand = engine.ranked_and(queries, k=10)
+    for i, terms in enumerate(queries):
+        assert got_and[i] == and_query(mixed, terms), f"AND q={terms}"
+        exp = ranked_and_query(mixed, wdata, terms, k=10)
+        assert len(got_rand[i]) == len(exp)
+        if exp:
+            np.testing.assert_allclose(got_rand[i], exp, rtol=1e-3, err_msg=f"q={terms}")
