@@ -7,8 +7,10 @@ Prints ONE JSON line:
 
 Baseline: the reference's published mean ranked_and query time on its
 bundled 10k-doc test collection, block_optpfor index: 11.125 us/query
-(reference README.md:131-135; BASELINE.md). vs_baseline > 1 means faster
-than the reference CPU number.
+(reference README.md:131-135; BASELINE.md). The bench uses the SAME
+index type (block_optpfor, device-decoded: OptPFor kernel for full
+blocks, stack-machine interpolative for tails). vs_baseline > 1 means
+faster than the reference CPU number.
 
 Protocol mirrors queries.cpp:25-60: queries are parsed/laid out up front
 (the reference parses stdin into a vector before op_perftest), then 1
@@ -44,7 +46,7 @@ NUM_DOCS = int(os.environ.get("DS2I_BENCH_DOCS", 10_000))
 POSTINGS = int(os.environ.get("DS2I_BENCH_POSTINGS", 2_000_000))
 NUM_TERMS = int(os.environ.get("DS2I_BENCH_TERMS", 110_000))
 NUM_QUERIES = int(os.environ.get("DS2I_BENCH_QUERIES", 35_000))
-INDEX_TYPE = os.environ.get("DS2I_BENCH_INDEX", "ef")
+INDEX_TYPE = os.environ.get("DS2I_BENCH_INDEX", "block_optpfor")
 
 
 def log(msg):
