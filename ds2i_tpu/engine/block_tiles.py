@@ -30,6 +30,7 @@ import numpy as np
 from ..codecs.interpolative import UNKNOWN_SUM, InterpolativeBlock
 from ..codecs.mixed import INTERPOLATIVE, MixedBlock, PFOR, VARINT
 from ..codecs.optpfor import OptPForBlock
+from ..codecs.qmx import _PER_WORD, QMXBlock
 from ..codecs.simple16 import S16_MODES
 from ..codecs.varint import VarintG8IUBlock
 from ..codecs.vbyte import TightVariableByte
@@ -39,6 +40,7 @@ from .tiles import F_BASE, F_KIND, F_NVALS, N_FIELDS, TILE, TileTables
 KIND_OPT = 8
 KIND_INTERP = 9
 KIND_VAR = 10
+KIND_QMX = 11
 
 BF_BIT0 = 1
 BF_B = 2
@@ -53,6 +55,8 @@ _E_BUCKETS = (0, 4, 16, 64, 128)
 _NC_BUCKETS = (32, 64, 128)
 _WIN_BUCKETS = (4, 16, 64, 180)
 _G_BUCKETS = (24, 40, 64)
+_NW_BUCKETS = (8, 32, 128)
+_S_BUCKETS = (8, 16, 32)
 
 
 def _bucket(v, table):
@@ -117,6 +121,25 @@ def _var_stream(data, pos, cur, row):
     return pos + 9 * g, g
 
 
+def _qmx_stream(data, pos, cur, row):
+    """Fill QMX fields; returns (end byte, nwords, nsel)."""
+    vals, q = TightVariableByte.decode(data, pos, 1)
+    plen = int(vals[0])
+    nw = plen // 16
+    sel0 = q + plen
+    covered = ns = 0
+    while covered < nw:
+        covered += int(data[sel0 + ns]) & 15
+        ns += 1
+    row[F_KIND] = KIND_QMX
+    row[BF_BIT0] = q * 8
+    row[BF_B] = nw
+    row[BF_NEX] = ns
+    row[BF_EX0] = sel0
+    row[F_NVALS] = cur
+    return sel0 + ns, nw, ns
+
+
 def _full_stream(data, pos, cur, known_sum, codec, row):
     """One full-block stream of any supported codec; returns
     (end byte, stream static tuple)."""
@@ -133,6 +156,9 @@ def _full_stream(data, pos, cur, known_sum, codec, row):
     if codec is VarintG8IUBlock:
         end, g = _var_stream(data, pos, cur, row)
         return end, ("var", _bucket(g, _G_BUCKETS))
+    if codec is QMXBlock:
+        end, nw, ns = _qmx_stream(data, pos, cur, row)
+        return end, ("qmx", _bucket(nw, _NW_BUCKETS), _bucket(ns, _S_BUCKETS))
     end, bits = _interp_stream(data, pos, cur, known_sum, row)
     return end, ("interp", _bucket((31 + bits) // 32 + 1, _WIN_BUCKETS))
 
@@ -144,7 +170,7 @@ def build_block_tables(index):
     hashable static tuple of group class g and tile_gid maps each tile to
     its class."""
     codec = index.codec
-    if codec not in (OptPForBlock, InterpolativeBlock, VarintG8IUBlock, MixedBlock):
+    if codec not in (OptPForBlock, InterpolativeBlock, VarintG8IUBlock, MixedBlock, QMXBlock):
         raise TypeError(
             f"device block engine has no decode kernels for {codec.__name__}"
         )

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from ..ops import pallas_decode
 from ..ops.interp_device import interp_decode
 from ..ops.optpfor_device import optpfor_decode
+from ..ops.qmx_device import qmx_decode
 from ..ops.varint_device import varint_decode
 from ..queries.bm25 import BM25
 from ..queries.parsing import query_freqs
@@ -120,6 +121,11 @@ def _resident_step(
                     )
                 elif sk == "var":
                     raw = varint_decode(words, fld[:, BF_BIT0], fld[:, BF_B], G=stat[1], T=T)
+                elif sk == "qmx":
+                    raw = qmx_decode(
+                        words, fld[:, BF_BIT0], fld[:, BF_B], fld[:, BF_EX0],
+                        fld[:, BF_NEX], NW=stat[1], S=stat[2], T=T,
+                    )
                 elif sk == "interp":
                     nw = words.shape[0]
                     W = stat[1]

@@ -173,7 +173,7 @@ def test_resident_multi_device(coll):
         np.testing.assert_allclose(x, y, rtol=1e-6)
 
 
-@pytest.mark.parametrize("name", ["block_optpfor", "block_interpolative", "block_varint"])
+@pytest.mark.parametrize("name", ["block_optpfor", "block_interpolative", "block_varint", "block_qmx"])
 def test_resident_block_index(coll, name):
     """The device block engine (OptPFor + interpolative kernels) must match
     the oracle on boolean counts and ranked top-k."""
