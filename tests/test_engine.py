@@ -62,7 +62,7 @@ def test_device_decode_matches_host(coll, name):
 
 
 @pytest.mark.parametrize("engine_cls", [QueryEngine, FlatQueryEngine, TileQueryEngine, ResidentEngine])
-@pytest.mark.parametrize("name", ["ef", "opt"])
+@pytest.mark.parametrize("name", ["ef", "opt", "single", "uniform"])
 def test_engine_boolean_matches_oracle(coll, name, engine_cls):
     c, index = build(coll, name)
     engine = engine_cls(index)
