@@ -150,9 +150,9 @@ def _full_stream(data, pos, cur, known_sum, codec, row):
                  INTERPOLATIVE: InterpolativeBlock}[t]
     if codec is OptPForBlock:
         end, b, nex = _opt_stream(data, pos, cur, row)
-        return end, ("opt",
-                     _bucket((31 + cur * min(b, 32)) // 32 + 1, _WS_BUCKETS),
-                     _bucket(nex, _E_BUCKETS))
+        # exact b in the statics: the kernel's static-width path needs it,
+        # and the POSS_LOGS grid bounds the group-class count
+        return end, ("opt", b, _bucket(nex, _E_BUCKETS))
     if codec is VarintG8IUBlock:
         end, g = _var_stream(data, pos, cur, row)
         return end, ("var", _bucket(g, _G_BUCKETS))

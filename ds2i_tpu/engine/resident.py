@@ -115,9 +115,11 @@ def _resident_step(
                 for docs or (None, freq) for freqs."""
                 sk = stat[0]
                 if sk == "opt":
+                    b = stat[1]
+                    ws = (31 + T * min(b, 32)) // 32 + 1
                     raw = optpfor_decode(
                         words, fld[:, BF_BIT0], fld[:, BF_B], fld[:, BF_NEX],
-                        fld[:, BF_EX0], WS=stat[1], E=stat[2], T=T,
+                        fld[:, BF_EX0], WS=ws, E=stat[2], T=T, b_static=b,
                     )
                 elif sk == "var":
                     raw = varint_decode(words, fld[:, BF_BIT0], fld[:, BF_B], G=stat[1], T=T)

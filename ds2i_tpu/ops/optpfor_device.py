@@ -53,35 +53,60 @@ def _extract_u32s(words, bit0, count):
     return lo | hi
 
 
-@partial(jax.jit, static_argnames=("WS", "E", "T"))
-def optpfor_decode(words, slot_bit0, b, n_ex, ex_bit0, WS, E, T=128):
+@partial(jax.jit, static_argnames=("WS", "E", "T", "b_static"))
+def optpfor_decode(words, slot_bit0, b, n_ex, ex_bit0, WS, E, T=128, b_static=None):
     """Decode one group of full OptPFor blocks.
 
     words: u32[] device stream; slot_bit0/b/n_ex/ex_bit0: (R,) i32
     WS: static slot-window words (>= ceil((31 + T*b)/32));
     E: static exception capacity (>= max n_ex in group)
+    b_static: when the whole group shares one bit width, every slot's
+    word/shift becomes STATIC after realigning the window by
+    (slot_bit0 & 31) — no per-slot word-select reduction at all.
     Returns (R, T) int32 raw slot values (gaps for docs, freq-1 for freqs).
     """
     R = slot_bit0.shape[0]
     nw = words.shape[0]
     j = jnp.arange(T, dtype=jnp.int32)[None, :]
 
-    # --- b-bit slot unpack (per-row dynamic width)
     widx = (slot_bit0 >> 5)[:, None] + jnp.arange(WS + 1, dtype=jnp.int32)[None, :]
     win = words[jnp.clip(widx, 0, nw - 1)]  # (R, WS+1)
-    bclip = jnp.minimum(b, 32)
-    bitoff = (slot_bit0 & 31)[:, None] + j * bclip[:, None]
-    w0i = jnp.clip(bitoff >> 5, 0, WS)
-    s = (bitoff & 31).astype(_U32)
-    cols = jnp.arange(WS + 1, dtype=jnp.int32)[None, None, :]
-    w0 = jnp.where(w0i[:, :, None] == cols, win[:, None, :], _U32(0)).sum(axis=2, dtype=_U32)
-    w1 = jnp.where((w0i + 1)[:, :, None] == cols, win[:, None, :], _U32(0)).sum(axis=2, dtype=_U32)
-    low = (w0 >> s) | jnp.where(s > 0, w1 << (_U32(32) - s), _U32(0))
-    bmask = jnp.where(
-        bclip[:, None] >= 32, _U32(0xFFFFFFFF),
-        (_U32(1) << jnp.clip(bclip, 0, 31)[:, None].astype(_U32)) - _U32(1),
-    )
-    out = low & bmask  # (R, T) u32
+
+    if b_static is not None:
+        bs = min(b_static, 32)
+        s0 = (slot_bit0 & 31)[:, None].astype(_U32)
+        nxt = jnp.concatenate([win[:, 1:], jnp.zeros((R, 1), _U32)], axis=1)
+        aligned = (win >> s0) | jnp.where(s0 > 0, nxt << (_U32(32) - s0), _U32(0))
+        if bs == 0:
+            out = jnp.zeros((R, T), _U32)
+        else:
+            cols_lo, cols_hi, shifts = [], [], []
+            for jj in range(T):
+                bit = jj * bs
+                cols_lo.append(bit >> 5)
+                cols_hi.append(min((bit >> 5) + 1, WS))
+                shifts.append(bit & 31)
+            lo = aligned[:, jnp.asarray(cols_lo)]
+            hi = aligned[:, jnp.asarray(cols_hi)]
+            sh = jnp.asarray(shifts, jnp.uint32)[None, :]
+            x = (lo >> sh) | jnp.where(sh > 0, hi << (_U32(32) - sh), _U32(0))
+            mask = _U32(0xFFFFFFFF) if bs >= 32 else (_U32(1) << _U32(bs)) - _U32(1)
+            out = x & mask
+    else:
+        # per-row dynamic width: comparison-reduce word select
+        bclip = jnp.minimum(b, 32)
+        bitoff = (slot_bit0 & 31)[:, None] + j * bclip[:, None]
+        w0i = jnp.clip(bitoff >> 5, 0, WS)
+        s = (bitoff & 31).astype(_U32)
+        cols = jnp.arange(WS + 1, dtype=jnp.int32)[None, None, :]
+        w0 = jnp.where(w0i[:, :, None] == cols, win[:, None, :], _U32(0)).sum(axis=2, dtype=_U32)
+        w1 = jnp.where((w0i + 1)[:, :, None] == cols, win[:, None, :], _U32(0)).sum(axis=2, dtype=_U32)
+        low = (w0 >> s) | jnp.where(s > 0, w1 << (_U32(32) - s), _U32(0))
+        bmask = jnp.where(
+            bclip[:, None] >= 32, _U32(0xFFFFFFFF),
+            (_U32(1) << jnp.clip(bclip, 0, 31)[:, None].astype(_U32)) - _U32(1),
+        )
+        out = low & bmask  # (R, T) u32
 
     if E > 0:
         K = 2 * E
