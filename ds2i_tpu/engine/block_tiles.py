@@ -164,11 +164,13 @@ def _full_stream(data, pos, cur, known_sum, codec, row):
 
 
 def build_block_tables(index):
-    """TileTables for a block_freq_index plus per-tile group statics.
+    """TileTables for a block_freq_index plus PER-STREAM group statics.
 
-    Returns (tables, statics_list, tile_gid) where statics_list[g] is the
-    hashable static tuple of group class g and tile_gid maps each tile to
-    its class."""
+    Docs and freqs codecs vary independently per block (mixed indexes in
+    particular), so each stream gets its own decode grouping — crossing
+    them would fragment the batch into the product of the class sets.
+    Returns (tables, statics_d, gid_d, statics_f, gid_f); each statics
+    tuple ends with the tile width T."""
     codec = index.codec
     if codec not in (OptPForBlock, InterpolativeBlock, VarintG8IUBlock, MixedBlock, QMXBlock):
         raise TypeError(
@@ -178,9 +180,17 @@ def build_block_tables(index):
     size = index.size()
 
     d_rows, f_rows, tile_list = [], [], []
-    statics_index = {}
-    statics_list = []
-    tile_gid = []
+    sidx_d, slist_d, gid_d = {}, [], []
+    sidx_f, slist_f, gid_f = {}, [], []
+
+    def intern(st, sidx, slist, gids):
+        g = sidx.get(st)
+        if g is None:
+            g = len(slist)
+            sidx[st] = g
+            slist.append(st)
+        gids.append(g)
+
     list_tile_start = [0]
 
     for i in range(size):
@@ -198,27 +208,19 @@ def build_block_tables(index):
             if cur == TILE:
                 p2, dst = _full_stream(data, p, cur, sum_d, codec, drow)
                 p3, fst = _full_stream(data, p2, cur, UNKNOWN_SUM, codec, frow)
-                st = ("blk", dst, fst, TILE)
+                T = TILE
             else:
                 p2, bits_d = _interp_stream(data, p, cur, sum_d, drow)
                 p3, bits_f = _interp_stream(data, p2, cur, UNKNOWN_SUM, frow)
-                nc = _bucket(cur, _NC_BUCKETS)
-                st = (
-                    "blk",
-                    ("interp", _bucket((31 + bits_d) // 32 + 1, _WIN_BUCKETS)),
-                    ("interp", _bucket((31 + bits_f) // 32 + 1, _WIN_BUCKETS)),
-                    nc,
-                )
+                dst = ("interp", _bucket((31 + bits_d) // 32 + 1, _WIN_BUCKETS))
+                fst = ("interp", _bucket((31 + bits_f) // 32 + 1, _WIN_BUCKETS))
+                T = _bucket(cur, _NC_BUCKETS)
             drow[F_BASE] = block_base
-            gid = statics_index.get(st)
-            if gid is None:
-                gid = len(statics_list)
-                statics_index[st] = gid
-                statics_list.append(st)
+            intern(dst + (T,), sidx_d, slist_d, gid_d)
+            intern(fst + (T,), sidx_f, slist_f, gid_f)
             d_rows.append(drow)
             f_rows.append(frow)
             tile_list.append(i)
-            tile_gid.append(gid)
             p = p3
             block_base = last + 1
         list_tile_start.append(len(tile_list))
@@ -231,4 +233,8 @@ def build_block_tables(index):
         win_words=np.zeros(len(tile_list), dtype=np.int32),
         lb_words=np.zeros(len(tile_list), dtype=np.int32),
     )
-    return tables, statics_list, np.array(tile_gid, dtype=np.int64)
+    return (
+        tables,
+        slist_d, np.array(gid_d, dtype=np.int64),
+        slist_f, np.array(gid_f, dtype=np.int64),
+    )

@@ -62,9 +62,53 @@ def _pow2_at_least(x, lo=1):
     return v
 
 
+def _decode_block_stream(words, fld, st, R, is_docs, num_docs):
+    """Decode one stream of one block group. st = ("opt", b, E, T) |
+    ("var", G, T) | ("qmx", NW, S, T) | ("interp", W, T). Returns
+    (R, T) doc ids (docs) or raw freqs (freqs); pads NOT yet masked."""
+    from .block_tiles import BF_B, BF_BIT0, BF_EX0, BF_NEX
+
+    sk, T = st[0], st[-1]
+    j = jnp.arange(T, dtype=jnp.int32)[None, :]
+    if sk == "opt":
+        b = st[1]
+        ws = (31 + T * min(b, 32)) // 32 + 1
+        raw = optpfor_decode(
+            words, fld[:, BF_BIT0], fld[:, BF_B], fld[:, BF_NEX],
+            fld[:, BF_EX0], WS=ws, E=st[2], T=T, b_static=b,
+        )
+    elif sk == "var":
+        raw = varint_decode(words, fld[:, BF_BIT0], fld[:, BF_B], G=st[1], T=T)
+    elif sk == "qmx":
+        raw = qmx_decode(
+            words, fld[:, BF_BIT0], fld[:, BF_B], fld[:, BF_EX0],
+            fld[:, BF_NEX], NW=st[1], S=st[2], T=T,
+        )
+    elif sk == "interp":
+        nw = words.shape[0]
+        W = st[1]
+        widx = (fld[:, BF_BIT0] >> 5)[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+        win = words[jnp.clip(widx, 0, nw - 1)]
+        cum = interp_decode(
+            win, fld[:, BF_BIT0] & 31, fld[:, F_NVALS], fld[:, BF_EX0],
+            NC=T, W=W, steps=T - 1,
+        )
+        if is_docs:
+            return fld[:, F_BASE][:, None] - 1 + cum + j + 1
+        prevf = jnp.concatenate([jnp.zeros((R, 1), jnp.int32), cum[:, :-1]], axis=1)
+        return cum - prevf + 1
+    else:
+        raise ValueError(f"unknown stream kind {sk}")
+    if is_docs:
+        return fld[:, F_BASE][:, None] - 1 + jnp.cumsum(raw + 1, axis=1)
+    return raw + 1
+
+
 @partial(
     jax.jit,
-    static_argnames=("groups", "buckets", "sent_dir", "num_docs", "k", "ops", "tmax", "pallas"),
+    static_argnames=(
+        "groups", "groups_f", "buckets", "sent_dir", "num_docs", "k", "ops", "tmax", "pallas",
+    ),
 )
 def _resident_step(
     docs_words,
@@ -72,11 +116,14 @@ def _resident_step(
     tiles_docs,  # RESIDENT (Nt+1, N_FIELDS) i32; last row is the pad tile
     tiles_freqs,
     norm_lens,  # RESIDENT f32[num_docs]
-    gtile_ids,  # i32[Rtot] group-major tile ids (pads -> Nt)
+    gtile_ids,  # i32[Rtot] group-major tile ids, docs ordering (pads -> Nt)
+    gtile_ids_f,  # i32: freqs-ordering tile ids (split mode; len 1 dummy else)
+    blkperm,  # i32: docs-order block -> freqs-order block (split mode)
     bucket_dir,  # tuple of i32[Bb, L/32]: (global block id << 5) | term slot
     bucket_qwtab,  # tuple of f32[Bb, tmax] per-row term-slot query weights
     bucket_tgt,  # tuple of i32[Bb]
-    groups,  # tuple of (off, R, W, WL, T)
+    groups,  # docs-pass groups: tuple of (off, R, statics)
+    groups_f,  # freqs-pass groups (empty tuple in pair mode)
     buckets,  # tuple of (Bb, L, nrows)
     sent_dir,  # static: packed directory value of the sentinel block
     num_docs,
@@ -85,15 +132,49 @@ def _resident_step(
     tmax,
     pallas=0,  # 0: XLA decode, 1: pallas kernel, 2: pallas interpret (tests)
 ):
-    docs_blocks, w_blocks = [], []
-    for off, R, st in groups:
-        kind, T = st[0], st[-1]
-        ids = gtile_ids[off : off + R]
-        df = tiles_docs[ids]
-        ff = tiles_freqs[ids]
-        j = jnp.arange(T, dtype=jnp.int32)[None, :]
-        valid = j < df[:, F_NVALS][:, None]
-        if kind == "ef":
+    ranked = ("or" in ops) or ("and" in ops)
+    if groups_f:
+        # SPLIT mode (block indexes): each stream decodes in its own
+        # group-major order; freq blocks realign to docs order by one
+        # contiguous block-row gather.
+        d_blocks, f_blocks = [], []
+        for off, R, st in groups:
+            ids = gtile_ids[off : off + R]
+            df = tiles_docs[ids]
+            T = st[-1]
+            j = jnp.arange(T, dtype=jnp.int32)[None, :]
+            valid = j < df[:, F_NVALS][:, None]
+            doc = jnp.where(valid, _decode_block_stream(docs_words, df, st, R, True, num_docs), num_docs)
+            d_blocks.append(doc.reshape(R * (T // BLOCK), BLOCK))
+        for off, R, st in groups_f:
+            ids = gtile_ids_f[off : off + R]
+            ff = tiles_freqs[ids]
+            T = st[-1]
+            j = jnp.arange(T, dtype=jnp.int32)[None, :]
+            valid = j < ff[:, F_NVALS][:, None]
+            fv = jnp.where(valid, _decode_block_stream(freqs_words, ff, st, R, False, num_docs), 0)
+            f_blocks.append(fv.reshape(R * (T // BLOCK), BLOCK))
+        docs32 = jnp.concatenate(d_blocks, axis=0)
+        freq32 = jnp.take(jnp.concatenate(f_blocks, axis=0), blkperm, axis=0)
+        freq32 = freq32.astype(jnp.float32)
+        if ranked:
+            nl = norm_lens[jnp.clip(docs32, 0, num_docs - 1)]
+            k1, b = jnp.float32(BM25.k1), jnp.float32(BM25.b)
+            w = freq32 / (freq32 + k1 * (jnp.float32(1.0) - b + b * nl))
+            w = jnp.where(docs32 < num_docs, w, 0.0)
+        else:
+            w = jnp.where(docs32 < num_docs, 1.0, 0.0)
+        w32 = w
+    else:
+        # PAIR mode (EF family): both streams share the group layout
+        docs_blocks, w_blocks = [], []
+        for off, R, st in groups:
+            kind, T = st[0], st[-1]
+            ids = gtile_ids[off : off + R]
+            df = tiles_docs[ids]
+            ff = tiles_freqs[ids]
+            j = jnp.arange(T, dtype=jnp.int32)[None, :]
+            valid = j < df[:, F_NVALS][:, None]
             W, WL = st[1], st[2]
             if pallas:
                 doc, freq_i = pallas_decode.decode_pair(
@@ -107,62 +188,16 @@ def _resident_step(
                 doc = jnp.where(valid, dv, num_docs)
                 prev = jnp.concatenate([ff[:, F_PREV_CUM][:, None], fv[:, :-1]], axis=1)
                 freq = jnp.where(valid, fv - prev, 0).astype(jnp.float32)
-        elif kind == "blk":
-            from .block_tiles import BF_B, BF_BIT0, BF_EX0, BF_NEX
-
-            def block_stream(words, fld, stat, is_docs):
-                """Decode one stream of a block group; returns (doc, None)
-                for docs or (None, freq) for freqs."""
-                sk = stat[0]
-                if sk == "opt":
-                    b = stat[1]
-                    ws = (31 + T * min(b, 32)) // 32 + 1
-                    raw = optpfor_decode(
-                        words, fld[:, BF_BIT0], fld[:, BF_B], fld[:, BF_NEX],
-                        fld[:, BF_EX0], WS=ws, E=stat[2], T=T, b_static=b,
-                    )
-                elif sk == "var":
-                    raw = varint_decode(words, fld[:, BF_BIT0], fld[:, BF_B], G=stat[1], T=T)
-                elif sk == "qmx":
-                    raw = qmx_decode(
-                        words, fld[:, BF_BIT0], fld[:, BF_B], fld[:, BF_EX0],
-                        fld[:, BF_NEX], NW=stat[1], S=stat[2], T=T,
-                    )
-                elif sk == "interp":
-                    nw = words.shape[0]
-                    W = stat[1]
-                    widx = (fld[:, BF_BIT0] >> 5)[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-                    win = words[jnp.clip(widx, 0, nw - 1)]
-                    cum = interp_decode(
-                        win, fld[:, BF_BIT0] & 31, fld[:, F_NVALS], fld[:, BF_EX0],
-                        NC=T, W=W, steps=T - 1,
-                    )
-                    if is_docs:
-                        return fld[:, F_BASE][:, None] - 1 + cum + j + 1
-                    prevf = jnp.concatenate([jnp.zeros((R, 1), jnp.int32), cum[:, :-1]], axis=1)
-                    return cum - prevf + 1
-                else:
-                    raise ValueError(f"unknown stream kind {sk}")
-                if is_docs:
-                    return fld[:, F_BASE][:, None] - 1 + jnp.cumsum(raw + 1, axis=1)
-                return raw + 1
-
-            dstat, fstat = st[1], st[2]
-            doc = jnp.where(valid, block_stream(docs_words, df, dstat, True), num_docs)
-            freq = jnp.where(valid, block_stream(freqs_words, ff, fstat, False), 0).astype(jnp.float32)
-        else:
-            raise ValueError(f"unknown group kind {kind}")
-        if ("or" in ops) or ("and" in ops):
-            nl = norm_lens[jnp.clip(doc, 0, num_docs - 1)]
-            k1, b = jnp.float32(BM25.k1), jnp.float32(BM25.b)
-            w = freq / (freq + k1 * (jnp.float32(1.0) - b + b * nl))
-        else:
-            w = jnp.where(doc < num_docs, 1.0, 0.0)
-        docs_blocks.append(doc.reshape(R * (T // BLOCK), BLOCK))
-        w_blocks.append(w.reshape(R * (T // BLOCK), BLOCK))
-
-    docs32 = jnp.concatenate(docs_blocks, axis=0)
-    w32 = jnp.concatenate(w_blocks, axis=0)
+            if ranked:
+                nl = norm_lens[jnp.clip(doc, 0, num_docs - 1)]
+                k1, b = jnp.float32(BM25.k1), jnp.float32(BM25.b)
+                w = freq / (freq + k1 * (jnp.float32(1.0) - b + b * nl))
+            else:
+                w = jnp.where(doc < num_docs, 1.0, 0.0)
+            docs_blocks.append(doc.reshape(R * (T // BLOCK), BLOCK))
+            w_blocks.append(w.reshape(R * (T // BLOCK), BLOCK))
+        docs32 = jnp.concatenate(docs_blocks, axis=0)
+        w32 = jnp.concatenate(w_blocks, axis=0)
 
     out = []
     for bi, (Bb, L, nrows) in enumerate(buckets):
@@ -304,6 +339,7 @@ class ResidentEngine:
         ]
         self.tile_gid = inv.astype(np.int64)
         self._empty_statics = ("ef", 4, 4, TILE)
+        self.split = False
         self.docs_words = jnp.asarray(index.docs_sequences.bits_bv.words.view(np.uint32))
         self.freqs_words = jnp.asarray(index.freqs_sequences.bits_bv.words.view(np.uint32))
         return t
@@ -313,10 +349,13 @@ class ResidentEngine:
         # ("opt", WSd, Ed, WSf, Ef, 128) or ("interp", Wd, Wf, NC)
         from .block_tiles import build_block_tables
 
-        t, statics_list, tile_gid = build_block_tables(index)
-        self.group_statics = statics_list
-        self.tile_gid = tile_gid
-        self._empty_statics = ("blk", ("interp", 4), ("interp", 4), BLOCK)
+        t, slist_d, gid_d, slist_f, gid_f = build_block_tables(index)
+        self.group_statics_d = slist_d
+        self.tile_gid_d = gid_d
+        self.group_statics_f = slist_f
+        self.tile_gid_f = gid_f
+        self._empty_statics = ("interp", 4, BLOCK)
+        self.split = True
         data = np.asarray(index.lists, dtype=np.uint8)
         assert len(data) * 8 < 2**31, "device block engine limit: 256MB stream"
         pad = (-len(data)) % 4
@@ -342,6 +381,50 @@ class ResidentEngine:
             qw = np.ones(len(terms), dtype=_F32)
         return terms, qw, counts
 
+    def _order_groups(self, utidx, tile_gid, statics_list):
+        """Group-major ordering of the part's tiles for one decode pass.
+        Returns (groups, gtile_ids, tblk, sent_blk, total_blocks)."""
+        ntiles = len(utidx)
+        bkey = tile_gid[utidx] if ntiles else np.zeros(0, np.int64)
+        order = np.argsort(bkey, kind="stable")
+        sk = bkey[order]
+        bnd = (np.nonzero(np.diff(sk))[0] + 1) if ntiles else np.zeros(0, np.int64)
+        gstarts = np.concatenate([[0], bnd, [ntiles]]).astype(np.int64)
+
+        groups = []
+        tblk = np.zeros(ntiles, dtype=np.int64)  # first block of each utile
+        gids_parts = []
+        off = 0
+        gblk = 0
+        ngroups = len(gstarts) - 1
+        sent_blk = 0
+        for gi in range(ngroups):
+            lo_i, hi_i = int(gstarts[gi]), int(gstarts[gi + 1])
+            if hi_i <= lo_i:
+                continue
+            sel = order[lo_i:hi_i]
+            cnt = hi_i - lo_i
+            st = statics_list[int(bkey[sel[0]])]
+            T = st[-1]
+            bpt = T // BLOCK
+            # last group gets one guaranteed pad row (the sentinel block)
+            R = _pow2_at_least(cnt + (1 if gi == ngroups - 1 else 0), lo=8)
+            ids = np.full(R, self.pad_tile, dtype=_I32)
+            ids[:cnt] = utidx[sel]
+            tblk[sel] = gblk + np.arange(cnt) * bpt
+            groups.append((off, R, st))
+            gids_parts.append(ids)
+            sent_blk = gblk + cnt * bpt  # first pad row's block (last group)
+            off += R
+            gblk += R * bpt
+        if not groups:
+            groups = [(0, 8, self._empty_statics)]
+            gids_parts = [np.full(8, self.pad_tile, dtype=_I32)]
+            gblk = 8 * (self._empty_statics[-1] // BLOCK)
+            sent_blk = 0
+        gtile_ids = np.concatenate(gids_parts)
+        return tuple(groups), gtile_ids, tblk, sent_blk, gblk
+
     def _part_plan(self, terms, qw, counts, k, ops, tmax, qids):
         """Layout for one part: group-major unique-tile ids + per-bucket
         block directories. All numpy, no device work."""
@@ -362,45 +445,28 @@ class ResidentEngine:
         else:
             utidx = np.zeros(0, dtype=np.int64)
 
-        # --- group by decode class, group-major row ids
-        bkey = self.tile_gid[utidx] if ntiles else np.zeros(0, np.int64)
-        order = np.argsort(bkey, kind="stable")
-        sk = bkey[order]
-        bnd = (np.nonzero(np.diff(sk))[0] + 1) if ntiles else np.zeros(0, np.int64)
-        gstarts = np.concatenate([[0], bnd, [ntiles]]).astype(np.int64)
-
-        groups = []
-        tblk = np.zeros(ntiles, dtype=np.int64)  # first global block of each utile
-        gids_parts = []
-        off = 0  # row offset into gtile_ids
-        gblk = 0  # global 32-slot block offset
-        ngroups = len(gstarts) - 1
-        sent_blk = 0
-        for gi in range(ngroups):
-            lo_i, hi_i = int(gstarts[gi]), int(gstarts[gi + 1])
-            if hi_i <= lo_i:
-                continue
-            sel = order[lo_i:hi_i]
-            cnt = hi_i - lo_i
-            st = self.group_statics[int(bkey[sel[0]])]
-            T = st[-1]
-            bpt = T // BLOCK
-            # last group gets one guaranteed pad row (the sentinel block)
-            R = _pow2_at_least(cnt + (1 if gi == ngroups - 1 else 0), lo=8)
-            ids = np.full(R, self.pad_tile, dtype=_I32)
-            ids[:cnt] = utidx[sel]
-            tblk[sel] = gblk + np.arange(cnt) * bpt
-            groups.append((off, R, st))
-            gids_parts.append(ids)
-            sent_blk = gblk + cnt * bpt  # first pad row's block (valid for last group)
-            off += R
-            gblk += R * bpt
-        if not groups:
-            groups = [(0, 8, self._empty_statics)]
-            gids_parts = [np.full(8, self.pad_tile, dtype=_I32)]
-            off = 8
-            sent_blk = 0
-        gtile_ids = np.concatenate(gids_parts)
+        # --- group by decode class, group-major row ids (per stream when the
+        # index's codecs differ between docs and freqs: see _order_groups)
+        groups, gtile_ids, tblk, sent_blk, nb_d = self._order_groups(
+            utidx, self.tile_gid_d if self.split else self.tile_gid,
+            self.group_statics_d if self.split else self.group_statics,
+        )
+        if self.split:
+            groups_f, gtile_f, tblk_f, sent_f, _ = self._order_groups(
+                utidx, self.tile_gid_f, self.group_statics_f
+            )
+            blkperm = np.full(nb_d, sent_f, dtype=_I32)
+            if ntiles:
+                bpt = self.tile_blocks[utidx]
+                tot_b = int(bpt.sum())
+                bex = np.cumsum(bpt) - bpt
+                blkperm[np.repeat(tblk - bex, bpt) + np.arange(tot_b, dtype=np.int64)] = (
+                    np.repeat(tblk_f - bex, bpt) + np.arange(tot_b, dtype=np.int64)
+                )
+        else:
+            groups_f = ()
+            gtile_f = np.zeros(1, dtype=_I32)
+            blkperm = np.zeros(1, dtype=_I32)
 
         # --- per-unique-term block lists (group-major block ids, tile order)
         nbt = self.tile_blocks[utidx]  # blocks of each utile
@@ -477,7 +543,10 @@ class ResidentEngine:
 
         return {
             "gtile_ids": gtile_ids,
+            "gtile_f": gtile_f,
+            "blkperm": blkperm,
             "groups": tuple(groups),
+            "groups_f": tuple(groups_f),
             "buckets": plan_buckets,
             "sent_dir": int(sent_blk << 5),
             "k": k,
@@ -555,10 +624,13 @@ class ResidentEngine:
                 tf,
                 nlr,
                 put(p["gtile_ids"]),
+                put(p["gtile_f"]),
+                put(p["blkperm"]),
                 tuple(put(b["dir"]) for b in bb),
                 tuple(put(b["qwtab"]) for b in bb),
                 tuple(put(b["tgt"]) for b in bb),
                 groups=p["groups"],
+                groups_f=p["groups_f"],
                 buckets=tuple((b["Bb"], b["L"], len(b["rows"])) for b in bb),
                 sent_dir=p["sent_dir"],
                 num_docs=self.num_docs,
