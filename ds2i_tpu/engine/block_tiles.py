@@ -51,8 +51,8 @@ _MODE_COUNT = [sum(c for c, _ in mode) for mode in S16_MODES]
 
 # bucket tables for group statics
 _WS_BUCKETS = (6, 18, 34, 66, 131)
-_E_BUCKETS = (0, 4, 16, 64, 128)
-_NC_BUCKETS = (32, 64, 128)
+_E_BUCKETS = (0, 4, 8, 16, 32, 64, 128)
+_NC_BUCKETS = (8, 16, 32, 64, 128)
 _WIN_BUCKETS = (4, 16, 64, 180)
 _G_BUCKETS = (24, 40, 64)
 _NW_BUCKETS = (8, 32, 128)

@@ -145,7 +145,9 @@ def _resident_step(
             j = jnp.arange(T, dtype=jnp.int32)[None, :]
             valid = j < df[:, F_NVALS][:, None]
             doc = jnp.where(valid, _decode_block_stream(docs_words, df, st, R, True, num_docs), num_docs)
-            d_blocks.append(doc.reshape(R * (T // BLOCK), BLOCK))
+            if T < BLOCK:  # narrow tail tiles decode short, emit one padded block
+                doc = jnp.pad(doc, ((0, 0), (0, BLOCK - T)), constant_values=num_docs)
+            d_blocks.append(doc.reshape(R * max(T // BLOCK, 1), BLOCK))
         for off, R, st in groups_f:
             ids = gtile_ids_f[off : off + R]
             ff = tiles_freqs[ids]
@@ -153,7 +155,9 @@ def _resident_step(
             j = jnp.arange(T, dtype=jnp.int32)[None, :]
             valid = j < ff[:, F_NVALS][:, None]
             fv = jnp.where(valid, _decode_block_stream(freqs_words, ff, st, R, False, num_docs), 0)
-            f_blocks.append(fv.reshape(R * (T // BLOCK), BLOCK))
+            if T < BLOCK:
+                fv = jnp.pad(fv, ((0, 0), (0, BLOCK - T)))
+            f_blocks.append(fv.reshape(R * max(T // BLOCK, 1), BLOCK))
         docs32 = jnp.concatenate(d_blocks, axis=0)
         freq32 = jnp.take(jnp.concatenate(f_blocks, axis=0), blkperm, axis=0)
         freq32 = freq32.astype(jnp.float32)
@@ -406,7 +410,7 @@ class ResidentEngine:
             cnt = hi_i - lo_i
             st = statics_list[int(bkey[sel[0]])]
             T = st[-1]
-            bpt = T // BLOCK
+            bpt = max(T // BLOCK, 1)
             # last group gets one guaranteed pad row (the sentinel block)
             R = _pow2_at_least(cnt + (1 if gi == ngroups - 1 else 0), lo=8)
             ids = np.full(R, self.pad_tile, dtype=_I32)
@@ -420,7 +424,7 @@ class ResidentEngine:
         if not groups:
             groups = [(0, 8, self._empty_statics)]
             gids_parts = [np.full(8, self.pad_tile, dtype=_I32)]
-            gblk = 8 * (self._empty_statics[-1] // BLOCK)
+            gblk = 8 * max(self._empty_statics[-1] // BLOCK, 1)
             sent_blk = 0
         gtile_ids = np.concatenate(gids_parts)
         return tuple(groups), gtile_ids, tblk, sent_blk, gblk
