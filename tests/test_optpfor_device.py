@@ -80,3 +80,16 @@ def test_optpfor_device_no_exceptions():
         streams.append(np.concatenate([np.asarray(c, np.uint8).reshape(-1) for c in chunk]))
         expect.append(v)
     _run(streams, expect, rng)
+
+
+def test_optpfor_device_wide_values():
+    """b=32 blocks (no exception coding possible) decode correctly."""
+    rng = np.random.RandomState(9)
+    streams, expect = [], []
+    for r in range(6):
+        v = rng.randint(0, 2 ** 31, size=128).astype(np.uint32)
+        chunk = []
+        OptPForBlock.encode(v, int(v.sum()), 128, chunk)
+        streams.append(np.concatenate([np.asarray(c, np.uint8).reshape(-1) for c in chunk]))
+        expect.append(v)
+    _run(streams, expect, rng)
