@@ -83,13 +83,30 @@ def test_optpfor_device_no_exceptions():
 
 
 def test_optpfor_device_wide_values():
-    """b=32 blocks (no exception coding possible) decode correctly."""
+    """b=32 blocks (no exception coding possible) decode correctly, on
+    both the dynamic-width and static-width kernel paths."""
     rng = np.random.RandomState(9)
     streams, expect = [], []
     for r in range(6):
         v = rng.randint(0, 2 ** 31, size=128).astype(np.uint32)
         chunk = []
         OptPForBlock.encode(v, int(v.sum()), 128, chunk)
-        streams.append(np.concatenate([np.asarray(c, np.uint8).reshape(-1) for c in chunk]))
+        raw = np.concatenate([np.asarray(c, np.uint8).reshape(-1) for c in chunk])
+        assert int(raw[0]) == 32
+        streams.append(raw)
         expect.append(v)
     _run(streams, expect, rng)
+    # static-width path (the engine's route when a group shares b)
+    buf = np.concatenate([np.zeros(2, np.uint8)] + streams + [np.zeros(8, np.uint8)])
+    buf = np.concatenate([buf, np.zeros((-len(buf)) % 4, np.uint8)])
+    words = jnp.asarray(buf.view("<u4").astype(np.uint32))
+    offs = np.cumsum([2] + [len(s) for s in streams[:-1]])
+    slot0 = [(int(o) + 2) * 8 for o in offs]
+    ws = (31 + 128 * 32) // 32 + 1
+    out = np.asarray(optpfor_decode(
+        words, jnp.asarray(slot0, jnp.int32), jnp.full(6, 32, jnp.int32),
+        jnp.zeros(6, jnp.int32), jnp.zeros(6, jnp.int32),
+        WS=ws, E=0, b_static=32,
+    ))
+    for r in range(6):
+        np.testing.assert_array_equal(out[r].astype(np.uint32), expect[r])
