@@ -75,7 +75,7 @@ def test_engine_boolean_matches_oracle(coll, name, engine_cls):
 
 
 @pytest.mark.parametrize("engine_cls", [QueryEngine, FlatQueryEngine, TileQueryEngine, ResidentEngine])
-@pytest.mark.parametrize("name", ["ef"])
+@pytest.mark.parametrize("name", ["ef", "opt"])
 def test_engine_ranked_matches_oracle(coll, name, engine_cls):
     c, index = build(coll, name)
     wdata = WandData.build(read_sizes(coll), c)
