@@ -27,6 +27,10 @@ class Configuration:
         self.log_partition_size = _env("DS2I_LOG_PART", 7, int)
         self.worker_threads = _env("DS2I_THREADS", os.cpu_count() or 1, int)
         self.heuristic_greedy = _env("DS2I_HEURISTIC_GREEDY", False, bool)
+        # out-of-core sort budget for the hybrid lambda stream; mirrors the
+        # reference's fixed 16 GiB stxxl::sort budget
+        # (optimal_hybrid_index.cpp:54)
+        self.sort_budget = _env("DS2I_SORT_BUDGET", 16 << 30, int)
 
     @classmethod
     def get(cls):

@@ -8,11 +8,12 @@ ascending, and greedily apply upgrades starting from the all-min-space
 assignment until the space budget is exhausted; then re-encode every block
 with its chosen codec into a block_mixed index.
 
-TPU-native notes: the stxxl out-of-core sort becomes a numpy sort (lambda
-points for a Gov2-scale index fit host RAM; shard with np.memmap if not);
-the expensive lambda computation is checkpointed to <lambdas>.npz and
-reused if present, matching the reference's delete-to-recompute contract
-(optimal_hybrid_index.cpp:337-343).
+TPU-native notes: the stxxl out-of-core sort (16 GiB budget,
+optimal_hybrid_index.cpp:54,237-240) becomes utils/extsort — sorted runs
+spilled under DS2I_SORT_BUDGET, k-way merged into a memmap-able .npy the
+greedy sweep pages lazily; the expensive lambda computation is
+checkpointed in <lambdas_file> and reused if present, matching the
+reference's delete-to-recompute contract (optimal_hybrid_index.cpp:337-343).
 """
 
 import os
@@ -52,51 +53,63 @@ def _append_lambdas(points, block_id, out, heuristic_greedy):
 
 
 def compute_lambdas(index, predictors, block_counts_by_list, lambdas_path):
-    """Per-block lambda frontiers -> sorted structured array, checkpointed."""
+    """Per-block lambda frontiers -> lambda-sorted memmap-able array,
+    checkpointed in lambdas_path. The sort runs out-of-core under the
+    configured budget (stxxl::sort parity), so the returned array should
+    be iterated, not materialized, at large scale."""
     if os.path.exists(lambdas_path):
         logger(f"Found lambdas file {lambdas_path}, skipping recomputation")
         logger("To recompute lambdas, remove file")
-        return np.load(lambdas_path)["lambdas"]
+        if lambdas_path.endswith(".npz"):  # pre-extsort checkpoint format
+            return np.load(lambdas_path)["lambdas"]
+        return np.load(lambdas_path, mmap_mode="r")
 
     conf = Configuration.get()
+    from ..codecs.interpolative import UNKNOWN_SUM
+    from ..utils.extsort import external_sort_to_file
+
     plog = ProgressLogger("postings")
-    out = []
-    block_id = 0
-    freq_zero_lists = 0
-    freq_zero_blocks = 0
+    stats = {"freq_zero_lists": 0, "freq_zero_blocks": 0}
     smoothing = 1  # Laplace smoothing
+    spill_rows = 1 << 18
 
-    for l in range(index.size()):
-        blocks = index.get_blocks(l)
-        counts = block_counts_by_list.get(l)
-        if counts is None:
-            freq_zero_lists += 1
-            freq_zero_blocks += 2 * len(blocks)
-        else:
-            freq_zero_blocks += sum(1 for c in counts if c == 0)
-        for ib in blocks:
-            docs_exp = smoothing + (counts[2 * ib.index] if counts else 0)
-            freqs_exp = smoothing + (counts[2 * ib.index + 1] if counts else 0)
+    def chunks():
+        out = []
+        block_id = 0
+        for l in range(index.size()):
+            blocks = index.get_blocks(l)
+            counts = block_counts_by_list.get(l)
+            if counts is None:
+                stats["freq_zero_lists"] += 1
+                stats["freq_zero_blocks"] += 2 * len(blocks)
+            else:
+                stats["freq_zero_blocks"] += sum(1 for c in counts if c == 0)
+            for ib in blocks:
+                docs_exp = smoothing + (counts[2 * ib.index] if counts else 0)
+                freqs_exp = smoothing + (counts[2 * ib.index + 1] if counts else 0)
 
-            gaps, _ = index.codec.decode(ib.docs_bytes, 0, ib.doc_gaps_universe, ib.size)
-            pts = MixedBlock.compute_space_time(gaps[: ib.size], ib.doc_gaps_universe, predictors, docs_exp)
-            _append_lambdas(pts, block_id, out, conf.heuristic_greedy)
-            block_id += 1
+                gaps, _ = index.codec.decode(ib.docs_bytes, 0, ib.doc_gaps_universe, ib.size)
+                pts = MixedBlock.compute_space_time(gaps[: ib.size], ib.doc_gaps_universe, predictors, docs_exp)
+                _append_lambdas(pts, block_id, out, conf.heuristic_greedy)
+                block_id += 1
 
-            from ..codecs.interpolative import UNKNOWN_SUM
+                f1, _ = index.codec.decode(ib.freqs_bytes, 0, UNKNOWN_SUM, ib.size)
+                pts = MixedBlock.compute_space_time(f1[: ib.size], UNKNOWN_SUM, predictors, freqs_exp)
+                _append_lambdas(pts, block_id, out, conf.heuristic_greedy)
+                block_id += 1
+                if len(out) >= spill_rows:
+                    yield np.array(out, dtype=LAMBDA_DTYPE)
+                    out = []
+            plog.done_item(index.list_length(l))
+        if out:
+            yield np.array(out, dtype=LAMBDA_DTYPE)
 
-            f1, _ = index.codec.decode(ib.freqs_bytes, 0, UNKNOWN_SUM, ib.size)
-            pts = MixedBlock.compute_space_time(f1[: ib.size], UNKNOWN_SUM, predictors, freqs_exp)
-            _append_lambdas(pts, block_id, out, conf.heuristic_greedy)
-            block_id += 1
-        plog.done_item(index.list_length(l))
-
-    stats_line(freq_zero_lists=freq_zero_lists, freq_zero_blocks=freq_zero_blocks)
-    lambdas = np.array(out, dtype=LAMBDA_DTYPE)
-    lambdas = lambdas[np.argsort(lambdas["lambda"], kind="stable")]
-    np.savez_compressed(lambdas_path, lambdas=lambdas)
-    logger(f"{len(lambdas)} lambda points")
-    return lambdas
+    n = external_sort_to_file(
+        chunks(), LAMBDA_DTYPE, "lambda", lambdas_path, conf.sort_budget
+    )
+    stats_line(**stats)
+    logger(f"{n} lambda points")
+    return np.load(lambdas_path, mmap_mode="r")
 
 
 def greedy_tradeoff(index, lambdas, budget, tradeoff_log=None):
