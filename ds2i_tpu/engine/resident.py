@@ -104,10 +104,50 @@ def _decode_block_stream(words, fld, st, R, is_docs, num_docs):
     return raw + 1
 
 
+@partial(jax.jit, static_argnames=("groups", "num_docs", "split"))
+def _norm_cache_step(docs_words, tiles_docs, norm_lens, gtile_ids, groups, num_docs, split):
+    """One-time decode of EVERY tile's docids -> per-slot norm lengths,
+    (total_blocks, 32) f32 in the canonical group-major block order.
+
+    The per-posting norm-length gather is the engine's largest kernel
+    cost (it runs at the chip's random-gather rate, see docs/PERF.md);
+    tiles are static, so the gather result is too. This materializes it
+    once at init — the reference keeps norm_lens as an uncompressed
+    per-doc side table (wand_data.hpp:20-53); this is that same side
+    table reorganized posting-aligned, 4 bytes per posting of HBM."""
+    blocks = []
+    for off, R, st in groups:
+        ids = gtile_ids[off : off + R]
+        df = tiles_docs[ids]
+        T = st[-1]
+        j = jnp.arange(T, dtype=jnp.int32)[None, :]
+        valid = j < df[:, F_NVALS][:, None]
+        if split:
+            doc = jnp.where(valid, _decode_block_stream(docs_words, df, st, R, True, num_docs), num_docs)
+            if T < BLOCK:
+                doc = jnp.pad(doc, ((0, 0), (0, BLOCK - T)), constant_values=num_docs)
+        else:
+            dv = _decode_group(docs_words, df, st[1], st[2], T)
+            doc = jnp.where(valid, dv, num_docs)
+        blocks.append(doc.reshape(-1, BLOCK))
+    d = jnp.concatenate(blocks, axis=0)
+    return norm_lens[jnp.clip(d, 0, num_docs - 1)]
+
+
+def _cached_norm_rows(nl_blocks, tile_gblk0, ids, T):
+    """Norm-length rows for one decode group: a contiguous row gather
+    from the init-time cache (rows of tile t live at
+    [tile_gblk0[t], +T//32) in nl_blocks)."""
+    bpt = max(T // BLOCK, 1)
+    idx = tile_gblk0[ids][:, None] + jnp.arange(bpt, dtype=jnp.int32)[None, :]
+    return jnp.take(nl_blocks, idx.reshape(-1), axis=0)  # (R*bpt, 32)
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "groups", "groups_f", "buckets", "sent_dir", "num_docs", "k", "ops", "tmax", "pallas",
+        "fetch16", "normcache",
     ),
 )
 def _resident_step(
@@ -131,13 +171,28 @@ def _resident_step(
     ops,
     tmax,
     pallas=0,  # 0: XLA decode, 1: pallas kernel, 2: pallas interpret (tests)
+    fetch16=0,  # downloads ride f16: 2^-11 rounding of the returned scores
+    # sits inside the 0.1% relative tolerance the reference's own ranked
+    # tests assert (test_ranked_queries.cpp:52) and halves the dominant
+    # device->host transfer. Scores are pre-scaled by fscale (a host-
+    # chosen power of two, undone exactly after download) so every
+    # representable score lands in f16's NORMAL range — tiny scores from
+    # bm25's idf epsilon path would otherwise hit subnormals, where
+    # rounding error blows past the tolerance. The host plans f32
+    # instead whenever its provable score bounds don't fit (see
+    # _part_plan). Counts passes stay f32 (exact to 2^24).
+    fscale=None,  # f32 scalar, only read when fetch16
+    normcache=0,  # per-slot norm lengths from the init-time cache (row
+    # gather) instead of the per-posting random gather; exact (f32 cache)
+    nl_blocks=None,  # RESIDENT f32[total_blocks, 32] (normcache mode)
+    tile_gblk0=None,  # RESIDENT i32[Nt+1]: first cache row of each tile
 ):
     ranked = ("or" in ops) or ("and" in ops)
     if groups_f:
         # SPLIT mode (block indexes): each stream decodes in its own
         # group-major order; freq blocks realign to docs order by one
         # contiguous block-row gather.
-        d_blocks, f_blocks = [], []
+        d_blocks, f_blocks, nl_rows = [], [], []
         for off, R, st in groups:
             ids = gtile_ids[off : off + R]
             df = tiles_docs[ids]
@@ -148,6 +203,8 @@ def _resident_step(
             if T < BLOCK:  # narrow tail tiles decode short, emit one padded block
                 doc = jnp.pad(doc, ((0, 0), (0, BLOCK - T)), constant_values=num_docs)
             d_blocks.append(doc.reshape(R * max(T // BLOCK, 1), BLOCK))
+            if ranked and normcache:
+                nl_rows.append(_cached_norm_rows(nl_blocks, tile_gblk0, ids, T))
         for off, R, st in groups_f:
             ids = gtile_ids_f[off : off + R]
             ff = tiles_freqs[ids]
@@ -162,7 +219,10 @@ def _resident_step(
         freq32 = jnp.take(jnp.concatenate(f_blocks, axis=0), blkperm, axis=0)
         freq32 = freq32.astype(jnp.float32)
         if ranked:
-            nl = norm_lens[jnp.clip(docs32, 0, num_docs - 1)]
+            if normcache:
+                nl = jnp.concatenate(nl_rows, axis=0)
+            else:
+                nl = norm_lens[jnp.clip(docs32, 0, num_docs - 1)]
             k1, b = jnp.float32(BM25.k1), jnp.float32(BM25.b)
             w = freq32 / (freq32 + k1 * (jnp.float32(1.0) - b + b * nl))
             w = jnp.where(docs32 < num_docs, w, 0.0)
@@ -193,7 +253,10 @@ def _resident_step(
                 prev = jnp.concatenate([ff[:, F_PREV_CUM][:, None], fv[:, :-1]], axis=1)
                 freq = jnp.where(valid, fv - prev, 0).astype(jnp.float32)
             if ranked:
-                nl = norm_lens[jnp.clip(doc, 0, num_docs - 1)]
+                if normcache:
+                    nl = _cached_norm_rows(nl_blocks, tile_gblk0, ids, T).reshape(R, T)
+                else:
+                    nl = norm_lens[jnp.clip(doc, 0, num_docs - 1)]
                 k1, b = jnp.float32(BM25.k1), jnp.float32(BM25.b)
                 w = freq / (freq + k1 * (jnp.float32(1.0) - b + b * nl))
             else:
@@ -251,7 +314,8 @@ def _resident_step(
         for op, flag in (("or", last_real), ("and", and_flag)):
             if op in ops:
                 res.append(jax.lax.top_k(jnp.where(flag, run_score, NEG_INF), k)[0])
-        out.append(jnp.concatenate(res, axis=1)[:nrows])  # download real rows only
+        row = jnp.concatenate(res, axis=1)[:nrows]  # download real rows only
+        out.append((row * fscale).astype(jnp.float16) if fetch16 else row)
     return jnp.concatenate(out, axis=0)
 
 
@@ -274,6 +338,10 @@ class ResidentEngine:
         self.norm_lens = (
             jnp.asarray(wdata.norm_lens) if wdata is not None else jnp.ones(self.num_docs, jnp.float32)
         )
+        # provable lower bound on any bm25 doc-term weight (f>=1, nl<=max):
+        # used to plan the f16 download scaling (see _part_plan)
+        nl_max = float(np.max(np.asarray(self.norm_lens))) if self.num_docs else 1.0
+        self._wmin = 1.0 / (1.0 + BM25.k1 * (1.0 - BM25.b + BM25.b * nl_max))
         # pallas decode only on a real TPU placement (the axon plugin makes
         # default_backend() report tpu even when arrays land on cpu)
         import os as _os
@@ -302,6 +370,10 @@ class ResidentEngine:
         self.tiles_docs = with_pad(t.docs)
         self.tiles_freqs = with_pad(t.freqs)
         self.pad_tile = nt
+        self.nl_blocks = None  # built lazily by _ensure_norm_cache
+        self.tile_gblk0 = None
+        self._norm_replicas = None
+        self.normcache = 0 if _os.environ.get("DS2I_NORM_CACHE") == "0" else 1
         if self.devices:
             # replicate the resident state on every serving device; parts
             # round-robin across them (query data parallelism over ICI-
@@ -325,6 +397,31 @@ class ResidentEngine:
         np.add.at(self.list_n, t.tile_list, nvals)
         self.list_blocks = np.zeros(num_lists, dtype=np.int64)
         np.add.at(self.list_blocks, t.tile_list, self.tile_blocks)
+
+    def _ensure_norm_cache(self):
+        """Materialize the per-slot norm-length cache (one decode of every
+        tile). Lazy: only ranked execution pays the init cost."""
+        if self.nl_blocks is not None:
+            return
+        nt = self.pad_tile
+        utidx = np.arange(nt, dtype=np.int64)
+        gid = self.tile_gid_d if self.split else self.tile_gid
+        stats = self.group_statics_d if self.split else self.group_statics
+        groups, gtile_ids, tblk, sent_blk, _ = self._order_groups(utidx, gid, stats)
+        g0 = np.full(nt + 1, sent_blk, dtype=_I32)
+        if nt:
+            g0[:nt] = tblk
+        self.tile_gblk0 = jnp.asarray(g0)
+        self.nl_blocks = _norm_cache_step(
+            self.docs_words, self.tiles_docs, self.norm_lens,
+            jnp.asarray(gtile_ids), groups=tuple(groups),
+            num_docs=self.num_docs, split=self.split,
+        )
+        if self.devices:
+            self._norm_replicas = [
+                (jax.device_put(self.nl_blocks, d), jax.device_put(self.tile_gblk0, d))
+                for d in self.devices
+            ]
 
     def _init_ef(self, index):
         # EF-family tiles: group statics are ("ef", W, WL, T)
@@ -545,7 +642,29 @@ class ResidentEngine:
                 m = b_of == bi
                 pb["dir"][r_of[m], col_of_blk[m]] = dir_flat[m]
 
+        # f16 download scaling: find a power of two putting every possible
+        # finite score in f16's normal range [~6.1e-5, 65504); None -> f32.
+        fscale = 1.0
+        pos = qw[qw > 0]
+        if len(pos):
+            import math
+
+            min_s = float(pos.min()) * self._wmin  # >= any finite score's floor
+            row_qwsum = np.zeros(B, dtype=np.float64)
+            np.add.at(row_qwsum, span_row, qw.astype(np.float64))
+            max_s = float(row_qwsum.max())  # >= any score (w < 1)
+            lo, hi = 6.2e-5, 6.0e4  # normal-f16 window with margin
+            if min_s > 0 and max_s / min_s <= hi / lo:
+                kmin = math.ceil(math.log2(lo / min_s))
+                if max_s * 2.0**kmin <= hi:
+                    fscale = 2.0**kmin
+                else:
+                    fscale = None
+            else:
+                fscale = None
+
         return {
+            "fscale": fscale,
             "gtile_ids": gtile_ids,
             "gtile_f": gtile_f,
             "blkperm": blkperm,
@@ -608,18 +727,29 @@ class ResidentEngine:
 
         debug = _os.environ.get("DS2I_ENGINE_DEBUG")
         t0 = _time.time()
+        ranked_ops = any(
+            ("or" in p["ops"]) or ("and" in p["ops"]) for p in plan["plans"]
+        )
+        normcache = self.normcache if ranked_ops else 0
+        if normcache:
+            self._ensure_norm_cache()
         pending = []
         for pi, p in enumerate(plan["plans"]):
             bb = p["buckets"]
             if self._replicas:
                 dev = self.devices[pi % len(self.devices)]
                 dw, fw, td, tf, nlr = self._replicas[pi % len(self.devices)]
+                nlb, tg0 = (
+                    self._norm_replicas[pi % len(self.devices)]
+                    if normcache else (None, None)
+                )
                 put = lambda a: jax.device_put(jnp.asarray(a), dev)
             else:
                 dw, fw, td, tf, nlr = (
                     self.docs_words, self.freqs_words, self.tiles_docs,
                     self.tiles_freqs, self.norm_lens,
                 )
+                nlb, tg0 = (self.nl_blocks, self.tile_gblk0) if normcache else (None, None)
                 put = jnp.asarray
             out = _resident_step(
                 dw,
@@ -642,6 +772,15 @@ class ResidentEngine:
                 ops=p["ops"],
                 tmax=p["tmax"],
                 pallas=self.pallas,
+                fetch16=int(
+                    "counts" not in p["ops"]
+                    and p["fscale"] is not None
+                    and not _os.environ.get("DS2I_FETCH_F32")
+                ),
+                fscale=jnp.float32(p["fscale"]) if p["fscale"] is not None else None,
+                normcache=normcache,
+                nl_blocks=nlb,
+                tile_gblk0=tg0,
             )
             pending.append((p, out))
 
@@ -657,6 +796,8 @@ class ResidentEngine:
         for p, out in pending:
             tf = _time.time()
             packed = np.asarray(out)  # one transfer per part
+            if packed.dtype == np.float16:
+                packed = packed.astype(np.float32) / np.float32(p["fscale"])
             t_fetch += _time.time() - tf
             tf = _time.time()
             ops = p["ops"]

@@ -217,3 +217,27 @@ def test_resident_block_mixed(coll):
         assert len(got_rand[i]) == len(exp)
         if exp:
             np.testing.assert_allclose(got_rand[i], exp, rtol=1e-3, err_msg=f"q={terms}")
+
+
+@pytest.mark.parametrize("name", ["ef", "block_optpfor"])
+def test_norm_cache_matches_gather(coll, name, monkeypatch):
+    """The init-time norm-length cache (default) must reproduce the
+    per-posting gather path bit-for-bit: the cache stores the same f32
+    values the gather would load."""
+    c, index = build(coll, name)
+    wdata = WandData.build(read_sizes(coll), c)
+    queries = read_queries(coll + ".queries")[:25]
+
+    cached = ResidentEngine(index, wdata)
+    assert cached.normcache == 1
+    got = cached.ranked_and(queries, k=10)
+    assert cached.nl_blocks is not None  # ranked run built the cache
+
+    monkeypatch.setenv("DS2I_NORM_CACHE", "0")
+    gathered = ResidentEngine(index, wdata)
+    assert gathered.normcache == 0
+    want = gathered.ranked_and(queries, k=10)
+    assert gathered.nl_blocks is None
+
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
