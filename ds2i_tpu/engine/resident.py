@@ -721,7 +721,13 @@ class ResidentEngine:
 
     def execute(self, plan):
         """Upload per-part layouts, dispatch, download results. One device
-        round trip per part, pipelined."""
+        round trip per part, pipelined.
+
+        A plan's layout arrays are pinned on device on first execution and
+        reused by later executions of the SAME plan — the analogue of
+        queries.cpp parsing stdin into a vector once and replaying it
+        across op_perftest runs (queries.cpp:25-60,124-138). Postings are
+        still decoded from the compressed index on every execution."""
         import os as _os
         import time as _time
 
@@ -751,18 +757,30 @@ class ResidentEngine:
                 )
                 nlb, tg0 = (self.nl_blocks, self.tile_gblk0) if normcache else (None, None)
                 put = jnp.asarray
+            dk = pi % len(self.devices) if self._replicas else 0
+            cache = p.setdefault("_dev", {})
+            if dk not in cache:
+                cache[dk] = (
+                    put(p["gtile_ids"]),
+                    put(p["gtile_f"]),
+                    put(p["blkperm"]),
+                    tuple(put(b["dir"]) for b in bb),
+                    tuple(put(b["qwtab"]) for b in bb),
+                    tuple(put(b["tgt"]) for b in bb),
+                )
+            d_gt, d_gf, d_bp, d_dir, d_qw, d_tgt = cache[dk]
             out = _resident_step(
                 dw,
                 fw,
                 td,
                 tf,
                 nlr,
-                put(p["gtile_ids"]),
-                put(p["gtile_f"]),
-                put(p["blkperm"]),
-                tuple(put(b["dir"]) for b in bb),
-                tuple(put(b["qwtab"]) for b in bb),
-                tuple(put(b["tgt"]) for b in bb),
+                d_gt,
+                d_gf,
+                d_bp,
+                d_dir,
+                d_qw,
+                d_tgt,
                 groups=p["groups"],
                 groups_f=p["groups_f"],
                 buckets=tuple((b["Bb"], b["L"], len(b["rows"])) for b in bb),

@@ -187,28 +187,92 @@ class BlockFreqIndex:
             self.index_cls = index_cls
             self.num_docs = num_docs
             self.params = params
-            self.endpoints = [0]
-            self.chunks = []
-            self.nbytes = 0
+            self.workers = workers
+            # ops preserve add order: ("plain", n, docs, freqs) encodes in
+            # the native batch at build() when available, ("bytes", chunks)
+            # is an eagerly-encoded list (write_blocks / raw / fallback)
+            self.ops = []
+            self._native_codec = self._native_codec_name()
+
+        def _native_codec_name(self):
+            import os
+
+            if os.environ.get("DS2I_NATIVE") == "0":
+                return None
+            from ..native import BLOCK_CODEC_IDS, available
+
+            if not available():
+                return None
+            for name, cls in BLOCK_CODECS.items():
+                if cls is self.index_cls.codec and name in BLOCK_CODEC_IDS:
+                    return name
+            return None
 
         def add_posting_list(self, n, docs, freqs=None, occurrences=None, blocks=None, raw=None):
-            out = []
             if raw is not None:
-                out.append(np.asarray(raw, dtype=np.uint8))
-            elif blocks is not None:
-                if not n:
-                    raise ValueError("List must be nonempty")
+                self.ops.append(("bytes", [np.asarray(raw, dtype=np.uint8)]))
+                return
+            if not n:
+                raise ValueError("List must be nonempty")
+            if blocks is not None:
+                out = []
                 BlockPostingList.write_blocks(out, n, blocks, self.index_cls.codec)
-            else:
-                if not n:
-                    raise ValueError("List must be nonempty")
-                BlockPostingList.write(out, n, docs, freqs, self.index_cls.codec)
-            for c in out:
-                self.chunks.append(c)
-                self.nbytes += len(c)
-            self.endpoints.append(self.nbytes)
+                self.ops.append(("bytes", out))
+                return
+            if self._native_codec:
+                self.ops.append((
+                    "plain", n,
+                    np.ascontiguousarray(np.asarray(docs, dtype=np.uint32)[:n]),
+                    np.ascontiguousarray(np.asarray(freqs, dtype=np.uint32)[:n]),
+                ))
+                return
+            out = []
+            BlockPostingList.write(out, n, docs, freqs, self.index_cls.codec)
+            self.ops.append(("bytes", out))
+
+        def _encode_all(self):
+            """Encode every pending op into (chunks, endpoints). Plain ops
+            go through ONE thread-parallel native batch (the reference
+            encodes inside semiasync_queue worker threads; here whole-index
+            batching replaces the queue, like the EF fast path)."""
+            plain = [op for op in self.ops if op[0] == "plain"]
+            slices = None
+            if plain:
+                from ..native import block_write_batch_native
+
+                offs = np.zeros(len(plain) + 1, dtype=np.int64)
+                offs[1:] = np.cumsum([op[1] for op in plain])
+                res = block_write_batch_native(
+                    np.concatenate([op[2] for op in plain]) if plain else np.zeros(0, np.uint32),
+                    np.concatenate([op[3] for op in plain]) if plain else np.zeros(0, np.uint32),
+                    offs, self._native_codec, self.workers,
+                )
+                if res is not None:
+                    buf, ends = res
+                    starts = np.concatenate([[0], ends[:-1]])
+                    slices = [buf[s:e] for s, e in zip(starts, ends)]
+            chunks = []
+            endpoints = [0]
+            nbytes = 0
+            pi = 0
+            for op in self.ops:
+                if op[0] == "plain":
+                    if slices is not None:
+                        out = [slices[pi]]
+                        pi += 1
+                    else:  # native missing: pure-Python fallback
+                        out = []
+                        BlockPostingList.write(out, op[1], op[2], op[3], self.index_cls.codec)
+                else:
+                    out = op[1]
+                for c in out:
+                    chunks.append(c)
+                    nbytes += len(c)
+                endpoints.append(nbytes)
+            return chunks, endpoints
 
         def build(self):
+            self.chunks, self.endpoints = self._encode_all()
             lists_bytes = (
                 np.concatenate(self.chunks) if self.chunks else np.zeros(0, dtype=np.uint8)
             )

@@ -96,3 +96,50 @@ def ef_write_batch_native(words, vals, voff, base_bits, universes, occs, params,
         int(params.ef_log_sampling0), int(params.ef_log_sampling1),
         len(base_bits), int(workers),
     )
+
+
+BLOCK_CODEC_IDS = {"optpfor": 0, "varint": 1, "interpolative": 2, "qmx": 3}
+
+
+def block_write_batch_native(docs, freqs, offs, codec_name, workers=None):
+    """Batched block posting-list encoder (ds2i_block_write_batch).
+    Returns (bytes uint8[total], list_end_offsets int64[count]) or None
+    when the library or codec is unavailable. Byte-identical to the
+    Python BlockPostingList.write path (tests/test_native.py)."""
+    lib = _load()
+    cid = BLOCK_CODEC_IDS.get(codec_name)
+    if lib is None or cid is None:
+        return None
+    if not hasattr(lib, "_block_batch_ready"):
+        lib.ds2i_block_write_batch.restype = ctypes.c_int64
+        lib.ds2i_block_write_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.ds2i_buffer_free.restype = None
+        lib.ds2i_buffer_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        lib._block_batch_ready = True
+    if workers is None:
+        workers = os.cpu_count() or 1
+    docs = np.ascontiguousarray(docs, dtype=np.uint32)
+    freqs = np.ascontiguousarray(freqs, dtype=np.uint32)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    count = len(offs) - 1
+    ends = np.zeros(max(count, 1), dtype=np.int64)
+    outp = ctypes.POINTER(ctypes.c_uint8)()
+    total = lib.ds2i_block_write_batch(
+        docs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        freqs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        count, cid, int(workers),
+        ctypes.byref(outp), ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if total < 0:
+        return None
+    try:
+        buf = np.ctypeslib.as_array(outp, shape=(int(total),)).copy() if total else np.zeros(0, np.uint8)
+    finally:
+        lib.ds2i_buffer_free(outp)
+    return buf, ends[:count]

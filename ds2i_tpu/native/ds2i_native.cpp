@@ -284,3 +284,425 @@ void ds2i_ef_write_batch(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched block-codec posting-list writer.
+//
+// The reference encodes block posting lists in C++ worker threads
+// (block_posting_list.hpp:13-53 layout; codecs in block_codecs.hpp and
+// qmx_codec.hpp). This is the native twin of the Python oracle encoders in
+// ds2i_tpu/codecs/{optpfor,simple16,varint,interpolative,qmx,vbyte}.py and
+// index/block_index.py BlockPostingList.write — it must produce byte-
+// identical output (asserted by tests/test_native.py). Thread-parallel over
+// contiguous list ranges like ds2i_ef_write_batch.
+
+#include <cstring>
+#include <string>
+
+namespace blockenc {
+
+constexpr uint32_t UNKNOWN_SUM = 0xFFFFFFFFu;
+constexpr int BLOCK_SIZE = 128;
+
+using Buf = std::vector<uint8_t>;
+
+inline void put_u32(Buf& out, uint32_t w) {
+    out.push_back(w & 0xFF);
+    out.push_back((w >> 8) & 0xFF);
+    out.push_back((w >> 16) & 0xFF);
+    out.push_back((w >> 24) & 0xFF);
+}
+
+// TightVariableByte (vbyte.py): 7-bit groups LE-first, high bit on LAST byte
+inline void vbyte_encode(Buf& out, uint64_t v) {
+    while (true) {
+        uint8_t byte = v & 0x7F;
+        v >>= 7;
+        if (v == 0) { out.push_back(byte | 0x80); break; }
+        out.push_back(byte);
+    }
+}
+
+// BitWriter32 (interpolative.py): 32-bit LE word bit stream
+struct BitWriter32 {
+    std::vector<uint32_t> words;
+    uint64_t size = 0;
+
+    void write(uint64_t bits, int length) {
+        if (!length) return;
+        bits &= (length < 64) ? ((uint64_t(1) << length) - 1) : ~uint64_t(0);
+        int pos = (int)(size % 32);
+        size += length;
+        if (pos == 0) {
+            words.push_back((uint32_t)(bits & 0xFFFFFFFFu));
+        } else {
+            words.back() |= (uint32_t)((bits << pos) & 0xFFFFFFFFu);
+            if (length > 32 - pos) words.push_back((uint32_t)(bits >> (32 - pos)));
+        }
+        // bits wider than 32 never occur here (write_int caps at b <= 32)
+    }
+
+    // centered minimal binary code for val in [0, u)
+    void write_int(uint64_t val, uint64_t u) {
+        int b = 63 - __builtin_clzll(u);  // msb(u), u >= 1
+        uint64_t m = (uint64_t(1) << (b + 1)) - u;
+        if (val < m) {
+            write(val, b);
+        } else {
+            val += m;
+            write(val >> 1, b);
+            write(val & 1, 1);
+        }
+    }
+
+    void write_interpolative(const uint64_t* cum, long lo_i, long hi_i,
+                             uint64_t low, uint64_t high) {
+        long n = hi_i - lo_i;
+        if (n <= 0) return;
+        long h = lo_i + n / 2;
+        uint64_t val = cum[h];
+        write_int(val - low, high - low + 1);
+        write_interpolative(cum, lo_i, h, low, val);
+        write_interpolative(cum, h + 1, hi_i, val, high);
+    }
+
+    void tobytes(Buf& out) const {
+        uint64_t nbytes = (size + 7) / 8;
+        for (uint64_t i = 0; i < nbytes; i++)
+            out.push_back((uint8_t)(words[i / 4] >> ((i % 4) * 8)));
+    }
+};
+
+// interpolative.py InterpolativeBlock.encode: values are gaps; prefix-sum,
+// optional vbyte(sum) when unknown, then interpolative bits over cum[0..n-1)
+inline void interp_encode(Buf& out, const uint32_t* gaps, int n, uint32_t sum_of_values) {
+    uint64_t cum[BLOCK_SIZE];
+    uint64_t c = 0;
+    for (int i = 0; i < n; i++) { c += gaps[i]; cum[i] = c; }
+    uint64_t sum = sum_of_values;
+    if (sum_of_values == UNKNOWN_SUM) {
+        sum = cum[n - 1];
+        vbyte_encode(out, sum);
+    }
+    BitWriter32 bw;
+    bw.write_interpolative(cum, 0, n - 1, 0, sum);
+    bw.tobytes(out);
+}
+
+// simple16.py: 4-bit selector + 28 data bits; 16 modes of (count, bits)
+struct S16Mode { int cnt; uint8_t widths[28]; };
+inline const S16Mode* s16_modes() {
+    static S16Mode modes[16];
+    static bool init = false;
+    if (!init) {
+        const int spec[16][4][2] = {
+            {{28,1}}, {{7,2},{14,1}}, {{14,1},{7,2}}, {{14,2}},
+            {{4,3},{8,2}}, {{8,2},{4,3}}, {{7,4}}, {{4,5},{2,4}},
+            {{2,4},{4,5}}, {{3,6},{2,5}}, {{2,5},{3,6}}, {{4,7}},
+            {{2,9},{1,10}}, {{1,10},{2,9}}, {{2,14}}, {{1,28}},
+        };
+        for (int s = 0; s < 16; s++) {
+            int k = 0;
+            for (int r = 0; r < 4; r++) {
+                for (int c = 0; c < spec[s][r][0]; c++) modes[s].widths[k++] = (uint8_t)spec[s][r][1];
+            }
+            modes[s].cnt = k;
+        }
+        init = true;
+    }
+    return modes;
+}
+
+// encode; returns number of u32 words appended (values must be < 2^28)
+inline int simple16_encode(std::vector<uint32_t>& words, const uint32_t* vals, int n) {
+    const S16Mode* modes = s16_modes();
+    int emitted = 0;
+    int i = 0;
+    while (i < n) {
+        for (int sel = 0; sel < 16; sel++) {
+            const S16Mode& m = modes[sel];
+            int k = std::min(m.cnt, n - i);
+            bool fits = true;
+            for (int j = 0; j < k; j++) {
+                if (vals[i + j] >= (uint32_t(1) << m.widths[j])) { fits = false; break; }
+            }
+            if (!fits) continue;
+            uint32_t w = 0;
+            int shift = 0;
+            for (int j = 0; j < m.cnt; j++) {
+                uint32_t v = j < k ? vals[i + j] : 0;
+                w |= v << shift;
+                shift += m.widths[j];
+            }
+            words.push_back(((uint32_t)sel << 28) | w);
+            emitted++;
+            i += k;
+            break;
+        }
+    }
+    return emitted;
+}
+
+// optpfor.py: possLogs grid, <= wins ties (largest feasible b at min size)
+inline const int* poss_logs(int& count) {
+    static const int logs[] = {0,1,2,3,4,5,6,7,8,9,10,11,12,13,16,20,32};
+    count = (int)(sizeof(logs) / sizeof(logs[0]));
+    return logs;
+}
+
+// exception stream for width b: [pos0, posgap-1 ..., high-1 ...]; returns
+// false when infeasible (>255 exceptions or a stream value >= 2^28)
+inline bool opt_exceptions(const uint32_t* v, int n, int b, std::vector<uint32_t>& stream) {
+    stream.clear();
+    if (b >= 32) return true;
+    int prev = -1;
+    int n_ex = 0;
+    std::vector<uint32_t> highs;
+    for (int i = 0; i < n; i++) {
+        if (v[i] >= (uint32_t(1) << b)) {
+            if (++n_ex > 255) return false;
+            uint32_t h = v[i] >> b;
+            if (h - 1 >= (uint32_t(1) << 28)) return false;
+            if (prev < 0) stream.push_back((uint32_t)i);
+            else stream.push_back((uint32_t)(i - prev - 1));
+            highs.push_back(h - 1);
+            prev = i;
+        }
+    }
+    for (uint32_t h : highs) stream.push_back(h);
+    for (uint32_t s : stream) if (s >= (uint32_t(1) << 28)) return false;
+    return true;
+}
+
+inline void pack_bits(std::vector<uint32_t>& words, const uint32_t* v, int n, int b) {
+    if (b == 0) return;
+    size_t total = ((size_t)n * b + 31) / 32;
+    size_t base = words.size();
+    words.resize(base + total, 0);
+    uint64_t mask = b < 32 ? ((uint64_t(1) << b) - 1) : 0xFFFFFFFFull;
+    for (int i = 0; i < n; i++) {
+        uint64_t off = (uint64_t)i * b;
+        uint64_t val = (uint64_t)v[i] & mask;
+        size_t widx = base + (off >> 5);
+        int shift = (int)(off & 31);
+        words[widx] |= (uint32_t)((val << shift) & 0xFFFFFFFFull);
+        if (shift + b > 32) words[widx + 1] |= (uint32_t)(val >> (32 - shift));
+    }
+}
+
+inline void optpfor_encode(Buf& out, const uint32_t* gaps, int n, uint32_t sum_of_values) {
+    if (n < BLOCK_SIZE) { interp_encode(out, gaps, n, sum_of_values); return; }
+    int nlogs;
+    const int* logs = poss_logs(nlogs);
+    std::vector<uint32_t> stream, tmp;
+    int best_b = 32;
+    long best_words = -1;
+    for (int li = 0; li < nlogs; li++) {
+        int b = logs[li];
+        long slot_words = ((long)n * b + 31) / 32;
+        long ex_words = 0;
+        if (b < 32) {
+            if (!opt_exceptions(gaps, n, b, stream)) continue;
+            if (!stream.empty()) {
+                tmp.clear();
+                ex_words = simple16_encode(tmp, stream.data(), (int)stream.size());
+            }
+        }
+        long total = slot_words + ex_words;
+        if (best_words < 0 || total <= best_words) { best_b = b; best_words = total; }
+    }
+    int b = best_b;
+    std::vector<uint32_t> slot;
+    pack_bits(slot, gaps, n, b < 32 ? b : 32);
+    std::vector<uint32_t> exw;
+    int n_ex = 0;
+    if (b < 32) {
+        opt_exceptions(gaps, n, b, stream);
+        // count actual exceptions (stream holds 2 entries per exception)
+        n_ex = (int)(stream.size() / 2);
+        if (!stream.empty()) simple16_encode(exw, stream.data(), (int)stream.size());
+    }
+    out.push_back((uint8_t)b);
+    out.push_back((uint8_t)n_ex);
+    for (uint32_t w : slot) put_u32(out, w);
+    for (uint32_t w : exw) put_u32(out, w);
+}
+
+// varint.py G8IU: groups of 1 desc byte + 8 data bytes
+inline void varint_encode(Buf& out, const uint32_t* vals, int n, uint32_t sum_of_values) {
+    if (n < BLOCK_SIZE) { interp_encode(out, vals, n, sum_of_values); return; }
+    int i = 0;
+    while (i < n) {
+        uint8_t desc = 0;
+        uint8_t data[8];
+        int used = 0;
+        while (i < n) {
+            uint32_t v = vals[i];
+            int bl = v < (1u << 8) ? 1 : v < (1u << 16) ? 2 : v < (1u << 24) ? 3 : 4;
+            if (used + bl > 8) break;
+            for (int j = 0; j < bl; j++) data[used++] = (uint8_t)(v >> (8 * j));
+            desc |= 1 << (used - 1);
+            i++;
+        }
+        while (used < 8) data[used++] = 0;
+        out.push_back(desc);
+        out.insert(out.end(), data, data + 8);
+    }
+}
+
+// qmx.py: greedy width classes over 128-bit payload words + selector bytes
+inline void qmx_encode(Buf& out, const uint32_t* vals, int n, uint32_t sum_of_values) {
+    if (n < BLOCK_SIZE) { interp_encode(out, vals, n, sum_of_values); return; }
+    static const int widths[] = {0,1,2,3,4,5,6,7,8,9,10,12,16,21,32};
+    static const int nclasses = (int)(sizeof(widths) / sizeof(widths[0]));
+    int per_word[nclasses];
+    for (int c = 0; c < nclasses; c++) per_word[c] = widths[c] ? 128 / widths[c] : 128;
+
+    std::vector<int> pclass;   // class per payload word
+    Buf words;
+    int i = 0;
+    while (i < n) {
+        int best = -1;
+        for (int ci = 0; ci < nclasses; ci++) {
+            int cnt = std::min(per_word[ci], n - i);
+            int w = widths[ci];
+            bool ok = true;
+            for (int j = 0; j < cnt; j++) {
+                int bits = vals[i + j] ? 64 - __builtin_clzll((uint64_t)vals[i + j]) : 0;
+                if (bits > w) { ok = false; break; }
+            }
+            if (ok) { best = ci; break; }
+        }
+        int cnt = std::min(per_word[best], n - i);
+        int w = widths[best];
+        unsigned __int128 acc = 0;
+        if (w) {
+            for (int j = 0; j < cnt; j++)
+                acc |= (unsigned __int128)vals[i + j] << (j * w);
+        }
+        for (int byte = 0; byte < 16; byte++)
+            words.push_back((uint8_t)(acc >> (8 * byte)));
+        pclass.push_back(best);
+        i += cnt;
+    }
+    Buf selectors;
+    size_t pi = 0;
+    while (pi < pclass.size()) {
+        int ci = pclass[pi];
+        int run = 1;
+        while (pi + run < pclass.size() && pclass[pi + run] == ci && run < 15) run++;
+        selectors.push_back((uint8_t)((ci << 4) | run));
+        pi += run;
+    }
+    vbyte_encode(out, words.size());
+    out.insert(out.end(), words.begin(), words.end());
+    out.insert(out.end(), selectors.begin(), selectors.end());
+}
+
+using EncodeFn = void (*)(Buf&, const uint32_t*, int, uint32_t);
+
+// block_index.py BlockPostingList.write: vbyte(n); u32 maxs[]; u32
+// endpoints[blocks-1]; per block codec(docs gaps, known sum) +
+// codec(freqs-1, unknown sum)
+inline void write_list(Buf& out, const uint32_t* docs, const uint32_t* freqs,
+                       long n, EncodeFn enc) {
+    long blocks = (n + BLOCK_SIZE - 1) / BLOCK_SIZE;
+    vbyte_encode(out, (uint64_t)n);
+    size_t maxs_at = out.size();
+    out.resize(out.size() + 4 * blocks + 4 * (blocks - 1));
+    size_t body_at = out.size();
+
+    Buf body;
+    uint32_t gaps[BLOCK_SIZE], f1[BLOCK_SIZE];
+    long block_base = 0;
+    for (long b = 0; b < blocks; b++) {
+        long lo = b * BLOCK_SIZE;
+        long hi = std::min(lo + BLOCK_SIZE, n);
+        int cur = (int)(hi - lo);
+        uint32_t last_doc = docs[hi - 1];
+        long prev = lo ? (long)docs[lo - 1] : -1;
+        for (int j = 0; j < cur; j++) {
+            gaps[j] = (uint32_t)((long)docs[lo + j] - prev - 1);
+            prev = docs[lo + j];
+            f1[j] = freqs[lo + j] - 1;
+        }
+        enc(body, gaps, cur, (uint32_t)(last_doc - block_base - (cur - 1)));
+        enc(body, f1, cur, UNKNOWN_SUM);
+        // patch max + endpoint
+        uint32_t* maxs = (uint32_t*)nullptr;
+        (void)maxs;
+        size_t mp = maxs_at + 4 * b;
+        out[mp] = last_doc & 0xFF; out[mp+1] = (last_doc >> 8) & 0xFF;
+        out[mp+2] = (last_doc >> 16) & 0xFF; out[mp+3] = (last_doc >> 24) & 0xFF;
+        if (b != blocks - 1) {
+            uint32_t cursor = (uint32_t)body.size();
+            size_t ep = maxs_at + 4 * blocks + 4 * b;
+            out[ep] = cursor & 0xFF; out[ep+1] = (cursor >> 8) & 0xFF;
+            out[ep+2] = (cursor >> 16) & 0xFF; out[ep+3] = (cursor >> 24) & 0xFF;
+        }
+        block_base = (long)last_doc + 1;
+    }
+    (void)body_at;
+    out.insert(out.end(), body.begin(), body.end());
+}
+
+}  // namespace blockenc
+
+extern "C" {
+
+// Encode `count` posting lists (concatenated docs/freqs, offsets offs[i] ..
+// offs[i+1]) into one malloc'd byte stream. codec: 0 optpfor, 1 varint,
+// 2 interpolative, 3 qmx. Writes per-list end offsets into list_ends.
+// Returns total bytes (free with ds2i_buffer_free), or -1 on error.
+int64_t ds2i_block_write_batch(
+    const uint32_t* docs, const uint32_t* freqs, const int64_t* offs,
+    int64_t count, int codec, int nthreads,
+    uint8_t** out_bytes, int64_t* list_ends)
+{
+    using namespace blockenc;
+    EncodeFn enc = nullptr;
+    switch (codec) {
+        case 0: enc = optpfor_encode; break;
+        case 1: enc = varint_encode; break;
+        case 2: enc = [](Buf& o, const uint32_t* v, int n, uint32_t s) { interp_encode(o, v, n, s); }; break;
+        case 3: enc = qmx_encode; break;
+        default: return -1;
+    }
+    if (nthreads < 1) nthreads = 1;
+    int nt = (int)std::min<int64_t>(nthreads, std::max<int64_t>(count, 1));
+    std::vector<Buf> bufs(nt);
+    std::vector<std::vector<int64_t>> ends(nt);
+    int64_t chunk = (count + nt - 1) / nt;
+    auto work = [&](int t) {
+        int64_t lo = t * chunk, hi = std::min(count, lo + chunk);
+        Buf& buf = bufs[t];
+        for (int64_t i = lo; i < hi; i++) {
+            write_list(buf, docs + offs[i], freqs + offs[i], offs[i + 1] - offs[i], enc);
+            ends[t].push_back((int64_t)buf.size());
+        }
+    };
+    if (nt == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nt; t++) ts.emplace_back(work, t);
+        for (auto& th : ts) th.join();
+    }
+    int64_t total = 0;
+    for (auto& b : bufs) total += (int64_t)b.size();
+    uint8_t* out = (uint8_t*)malloc(total ? total : 1);
+    if (!out) return -1;
+    int64_t pos = 0;
+    int64_t li = 0;
+    for (int t = 0; t < nt; t++) {
+        if (!bufs[t].empty()) memcpy(out + pos, bufs[t].data(), bufs[t].size());
+        for (int64_t e : ends[t]) list_ends[li++] = pos + e;
+        pos += (int64_t)bufs[t].size();
+    }
+    *out_bytes = out;
+    return total;
+}
+
+void ds2i_buffer_free(uint8_t* p) { free(p); }
+
+}  // extern "C"

@@ -100,3 +100,54 @@ def test_native_ef_batch_bit_identical(monkeypatch):
         nw = (sb.bits_bv.nbits + 63) // 64
         np.testing.assert_array_equal(sb.bits_bv.words[:nw], fb.bits_bv.words[:nw], err_msg=name)
         np.testing.assert_array_equal(sb.endpoints(), fb.endpoints(), err_msg=name)
+
+
+@pytest.mark.parametrize("name", ["block_optpfor", "block_varint", "block_interpolative", "block_qmx"])
+def test_native_block_writer_bit_identical(name, monkeypatch):
+    """The native batched block encoder must reproduce the Python
+    BlockPostingList.write bytes exactly (every codec, full + partial
+    blocks, exception-heavy and dense gap distributions)."""
+    from ds2i_tpu.native import available
+
+    if not available():
+        pytest.skip("native library not built")
+    from ds2i_tpu import GlobalParameters
+    from ds2i_tpu.index.types import make_index_type
+
+    rng = np.random.RandomState(99)
+    num_docs = 60_000
+    lists = []
+    for i in range(40):
+        # mix of lengths: partial-only, exact multiple of 128, long
+        n = int(rng.choice([1, 2, 17, 127, 128, 129, 256, 300, 1000, 4000]))
+        # occasional huge gaps to force exceptions / wide widths
+        gaps = rng.zipf(1.3, size=n).astype(np.int64)
+        if rng.rand() < 0.3:
+            gaps[rng.randint(0, n, size=max(n // 50, 1))] += 1 << rng.randint(8, 20)
+        docs = np.cumsum(gaps) - 1
+        docs = np.minimum(docs, num_docs - 1)
+        docs = np.unique(docs)
+        n = len(docs)
+        freqs = rng.randint(1, 300, size=n).astype(np.uint32)
+        lists.append((docs.astype(np.uint32), freqs))
+
+    cls = make_index_type(name)
+
+    def build(native):
+        monkeypatch.setenv("DS2I_NATIVE", "1" if native else "0")
+        b = cls.builder(num_docs, GlobalParameters())
+        assert bool(b._native_codec) == native
+        for docs, freqs in lists:
+            b.add_posting_list(len(docs), docs, freqs)
+        return b.build()
+
+    a = build(True)
+    c = build(False)
+    np.testing.assert_array_equal(a.lists, c.lists)
+    np.testing.assert_array_equal(a.endpoints(), c.endpoints())
+    # decoded parity for good measure
+    for i in (0, 7, 39):
+        da, fa = a.decode_list(i)
+        dc, fc = c.decode_list(i)
+        np.testing.assert_array_equal(da, dc)
+        np.testing.assert_array_equal(fa, fc)
