@@ -241,3 +241,22 @@ def test_norm_cache_matches_gather(coll, name, monkeypatch):
 
     for a, b in zip(got, want):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_plan_reexecution_identical(coll):
+    """execute(plan) pins layout arrays on device; re-executions of the
+    same plan must return identical results (and a fresh plan for the
+    same queries must agree)."""
+    c, index = build(coll, "ef")
+    wdata = WandData.build(read_sizes(coll), c)
+    engine = ResidentEngine(index, wdata)
+    queries = read_queries(coll + ".queries")[:20]
+    plan = engine.prepare(queries, k=10, ops=("and", "or"))
+    r1 = engine.execute(plan)
+    assert plan["plans"] and all("_dev" in p and p["_dev"] for p in plan["plans"])
+    r2 = engine.execute(plan)
+    r3 = engine.execute(engine.prepare(queries, k=10, ops=("and", "or")))
+    for a, b, c3 in zip(r1, r2, r3):
+        for x, y, z in zip(a[2:], b[2:], c3[2:]):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(z))
