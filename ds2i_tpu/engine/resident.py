@@ -326,7 +326,14 @@ class ResidentEngine:
     MIN_L = 64
 
     def __init__(self, index, wdata=None, scorer=BM25, max_part_slots=1 << 21,
-                 max_part_queries=16384, pallas=None, devices=None):
+                 max_part_queries=16384, pallas=None, devices=None,
+                 query_dfs=None, term_remap=None):
+        # query_dfs: per-GLOBAL-term document frequencies for bm25 query
+        # weights, overriding this index's own list lengths — a doc-range
+        # shard must score with collection-level idf (parallel/doc_sharded).
+        # term_remap: i64[global_terms] -> local list id, -1 when this
+        # index holds no postings for the term (the term still counts
+        # toward AND targets, contributing nothing).
         self.index = index
         self.num_docs = index.num_docs()
         self.scorer = scorer
@@ -334,6 +341,8 @@ class ResidentEngine:
         self.max_part_queries = max_part_queries
         self._pallas_req = pallas
         self.devices = list(devices) if devices else None
+        self.query_dfs = None if query_dfs is None else np.asarray(query_dfs, dtype=np.int64)
+        self.term_remap = None if term_remap is None else np.asarray(term_remap, dtype=np.int64)
 
         self.norm_lens = (
             jnp.asarray(wdata.norm_lens) if wdata is not None else jnp.ones(self.num_docs, jnp.float32)
@@ -474,13 +483,28 @@ class ResidentEngine:
         terms = np.array([t for q in tf for t, _ in q], dtype=np.int64)
         qmult = np.array([m for q in tf for _, m in q], dtype=np.int64)
         if ranked and len(terms):
-            dfs = self.list_n[terms].astype(_F32)
+            src = self.query_dfs if self.query_dfs is not None else self.list_n
+            dfs = src[terms].astype(_F32)
             N = _F32(self.num_docs)
             idf = np.log((N - dfs + _F32(0.5)) / (dfs + _F32(0.5))).astype(_F32)
             qw = qmult.astype(_F32) * np.maximum(_F32(1e-6), idf) * (_F32(1.0) + BM25.k1)
         else:
             qw = np.ones(len(terms), dtype=_F32)
+        if self.term_remap is not None and len(terms):
+            terms = self.term_remap[terms]  # -1: no postings in this index
         return terms, qw, counts
+
+    def _term_tiles(self, terms):
+        """(tile_start, tile_count) per term; remapped -1 terms own none."""
+        t = np.clip(terms, 0, None)
+        missing = terms < 0
+        return (
+            np.where(missing, 0, self.list_tile_start[t]),
+            np.where(missing, 0, self.list_tiles[t]),
+        )
+
+    def _term_blocks(self, terms):
+        return np.where(terms < 0, 0, self.list_blocks[np.clip(terms, 0, None)])
 
     def _order_groups(self, utidx, tile_gid, statics_list):
         """Group-major ordering of the part's tiles for one decode pass.
@@ -537,8 +561,7 @@ class ResidentEngine:
         )
 
         # --- unique-term tile expansion (CSR)
-        tstarts = self.list_tile_start[uterms]
-        tcounts = self.list_tiles[uterms]
+        tstarts, tcounts = self._term_tiles(uterms)
         ntiles = int(tcounts.sum())
         if ntiles:
             excl = np.cumsum(tcounts) - tcounts
@@ -581,7 +604,7 @@ class ResidentEngine:
         else:
             ublocks = np.zeros(0, dtype=np.int64)
         # CSR over unique terms (utidx is unique-major, so ublocks is too)
-        unb = self.list_blocks[uterms]
+        unb = self._term_blocks(uterms)
         ustart = np.concatenate([[0], np.cumsum(unb)])
 
         # --- per-query block directory
@@ -690,7 +713,7 @@ class ResidentEngine:
         # part splitting by bucketed slot budget
         qslots = np.zeros(len(queries), dtype=np.int64)
         if len(terms):
-            nb = self.list_blocks[terms]
+            nb = self._term_blocks(terms)
             np.add.at(qslots, np.repeat(np.arange(len(queries)), counts), nb * BLOCK)
         qslots = np.maximum(2 ** np.ceil(np.log2(np.maximum(qslots, self.MIN_L))).astype(np.int64), self.MIN_L)
 

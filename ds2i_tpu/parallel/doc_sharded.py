@@ -1,0 +1,136 @@
+"""Doc-range-sharded serving: the scale-out path for indexes larger than
+one chip's HBM.
+
+The reference is single-node (SURVEY §2.8); its TPU-native scale answer
+is sharding posting lists by document range across ICI-attached devices:
+every shard holds the sub-index of its doc range, every query executes
+on every shard (one ResidentEngine per shard, optionally pinned to its
+own device), and results merge trivially because doc ranges are
+disjoint — boolean counts add, top-k score lists k-way merge. BM25
+query weights use COLLECTION-level document frequencies (idf is a
+global statistic), passed to each shard via ResidentEngine(query_dfs=).
+
+Construction reshards any built index (all 9 types) by decoding each
+list once and re-encoding the per-range slices with the type's own
+builder (native-accelerated where available). Lists empty in a range
+are omitted from that shard's sub-index and mapped to -1 in the shard's
+term remap; AND targets still count them, so intersection semantics are
+preserved per range.
+"""
+
+import numpy as np
+
+from ..engine.resident import ResidentEngine
+from ..index.types import make_index_type
+
+NEG_INF = float("-inf")
+
+
+def shard_index_by_doc_range(index, num_shards):
+    """Split a built index into per-doc-range sub-indexes.
+
+    Returns (sub_indexes, term_remaps, bounds, global_dfs): sub-index i
+    holds docs in [bounds[i], bounds[i+1]) with GLOBAL docids and global
+    num_docs; term_remaps[i][t] is t's list id in shard i or -1."""
+    N = index.num_docs()
+    L = index.size()
+    cls = make_index_type(index.index_type_name)
+    bounds = np.array([round(N * s / num_shards) for s in range(num_shards + 1)], dtype=np.int64)
+
+    builders = [cls.builder(N, index.params) for _ in range(num_shards)]
+    remaps = [np.full(L, -1, dtype=np.int64) for _ in range(num_shards)]
+    sizes = [0] * num_shards
+    global_dfs = np.zeros(L, dtype=np.int64)
+
+    for l in range(L):
+        docs, freqs = index.decode_list(l)
+        docs = np.asarray(docs, dtype=np.int64)
+        freqs = np.asarray(freqs, dtype=np.int64)
+        global_dfs[l] = len(docs)
+        cuts = np.searchsorted(docs, bounds)
+        for s in range(num_shards):
+            lo, hi = int(cuts[s]), int(cuts[s + 1])
+            if hi <= lo:
+                continue
+            builders[s].add_posting_list(
+                hi - lo, docs[lo:hi], freqs[lo:hi], int(freqs[lo:hi].sum())
+            )
+            remaps[s][l] = sizes[s]
+            sizes[s] += 1
+
+    return [b.build() for b in builders], remaps, bounds, global_dfs
+
+
+class DocShardedEngine:
+    """Doc-range-sharded ResidentEngine with the same public query API.
+
+    devices: optional device list; shard i's resident state is pinned to
+    devices[i % len(devices)] (ICI-attached chips at real scale, the CPU
+    mesh in tests). Without devices, shards share the default device —
+    functionally identical, used for correctness tests."""
+
+    def __init__(self, index, wdata=None, num_shards=2, devices=None, **engine_kw):
+        subs, remaps, bounds, gdfs = shard_index_by_doc_range(index, num_shards)
+        self.bounds = bounds
+        self.num_shards = num_shards
+        self.engines = []
+        for s, (sub, remap) in enumerate(zip(subs, remaps)):
+            dev = [devices[s % len(devices)]] if devices else None
+            self.engines.append(
+                ResidentEngine(
+                    sub, wdata, devices=dev,
+                    query_dfs=gdfs, term_remap=remap, **engine_kw,
+                )
+            )
+
+    def prepare(self, queries, k=10, ops=("or", "and"), ranked=True):
+        return {
+            "shards": [e.prepare(queries, k=k, ops=ops, ranked=ranked) for e in self.engines],
+            "k": k,
+            "ops": tuple(ops),
+            "n": len(queries),
+        }
+
+    def execute(self, plan):
+        # dispatch every shard before fetching any: shards overlap on
+        # their own devices exactly like parts do on one
+        per_shard = [e.execute(p) for e, p in zip(self.engines, plan["shards"])]
+        k = plan["k"]
+        merged = []
+        for qi in range(plan["n"]):
+            rows = [sr[qi] for sr in per_shard]
+            and_c = sum(r[0] for r in rows)
+            or_c = sum(r[1] for r in rows)
+
+            def topk(idx):
+                if rows[0][idx] is None:
+                    return None
+                allv = np.concatenate([np.asarray(r[idx], dtype=np.float32) for r in rows])
+                allv = np.sort(allv)[::-1]
+                return allv[:k]
+
+            merged.append((and_c, or_c, topk(2), topk(3)))
+        return merged
+
+    def run(self, queries, k=10, ops=("or", "and"), ranked=True):
+        return self.execute(self.prepare(queries, k=k, ops=ops, ranked=ranked))
+
+    # -- public ops (mirror ResidentEngine) ------------------------------------
+
+    def and_counts(self, queries):
+        return np.array([r[0] for r in self.run(queries, ops=("counts",), ranked=False)])
+
+    def or_counts(self, queries):
+        return np.array([r[1] for r in self.run(queries, ops=("counts",), ranked=False)])
+
+    def _topk_list(self, r):
+        return [float(s) for s in r[np.isfinite(r)]]
+
+    def ranked_or(self, queries, k=10):
+        return [self._topk_list(r[2]) for r in self.run(queries, k=k, ops=("or",))]
+
+    def ranked_and(self, queries, k=10):
+        return [self._topk_list(r[3]) for r in self.run(queries, k=k, ops=("and",))]
+
+    wand = ranked_or
+    maxscore = ranked_or

@@ -260,3 +260,32 @@ def test_plan_reexecution_identical(coll):
         for x, y, z in zip(a[2:], b[2:], c3[2:]):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
             np.testing.assert_array_equal(np.asarray(x), np.asarray(z))
+
+
+@pytest.mark.parametrize("name", ["ef", "block_optpfor"])
+def test_doc_sharded_engine_matches_single(coll, name):
+    """Doc-range sharding (the beyond-one-chip scale path) must agree
+    with the single-engine results exactly: counts by sum, top-k by
+    merge, bm25 idf from collection-level dfs."""
+    from ds2i_tpu.parallel import DocShardedEngine
+
+    c, index = build(coll, name)
+    wdata = WandData.build(read_sizes(coll), c)
+    queries = read_queries(coll + ".queries")[:25]
+
+    single = ResidentEngine(index, wdata)
+    sharded = DocShardedEngine(index, wdata, num_shards=3)
+    # shards omit term lists empty in their range
+    assert any((r.term_remap < 0).any() for r in sharded.engines)
+
+    np.testing.assert_array_equal(sharded.and_counts(queries), single.and_counts(queries))
+    np.testing.assert_array_equal(sharded.or_counts(queries), single.or_counts(queries))
+    got = sharded.ranked_and(queries, k=10)
+    want = single.ranked_and(queries, k=10)
+    for g, w in zip(got, want):
+        assert len(g) == len(w)
+        np.testing.assert_allclose(g, w, rtol=1e-3)
+    got_or = sharded.ranked_or(queries, k=10)
+    want_or = single.ranked_or(queries, k=10)
+    for g, w in zip(got_or, want_or):
+        np.testing.assert_allclose(g, w, rtol=1e-3)
