@@ -262,7 +262,7 @@ def test_plan_reexecution_identical(coll):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(z))
 
 
-@pytest.mark.parametrize("name", ["ef", "block_optpfor"])
+@pytest.mark.parametrize("name", ["block_optpfor"])  # ef sharding runs in dryrun_multichip
 def test_doc_sharded_engine_matches_single(coll, name):
     """Doc-range sharding (the beyond-one-chip scale path) must agree
     with the single-engine results exactly: counts by sum, top-k by
@@ -271,7 +271,7 @@ def test_doc_sharded_engine_matches_single(coll, name):
 
     c, index = build(coll, name)
     wdata = WandData.build(read_sizes(coll), c)
-    queries = read_queries(coll + ".queries")[:25]
+    queries = read_queries(coll + ".queries")[:15]
 
     single = ResidentEngine(index, wdata)
     sharded = DocShardedEngine(index, wdata, num_shards=3)
