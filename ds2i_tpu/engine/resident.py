@@ -467,7 +467,11 @@ class ResidentEngine:
         self._empty_statics = ("interp", 4, BLOCK)
         self.split = True
         data = np.asarray(index.lists, dtype=np.uint8)
-        assert len(data) * 8 < 2**31, "device block engine limit: 256MB stream"
+        assert len(data) * 8 < 2**31, (
+            "device block engine limit: 256MB per resident stream (i32 bit "
+            "cursors); shard larger indexes by doc range across devices "
+            "with parallel.DocShardedEngine"
+        )
         pad = (-len(data)) % 4
         words = np.concatenate([data, np.zeros(pad + 8, np.uint8)]).view("<u4")
         w = jnp.asarray(words.astype(np.uint32))
