@@ -7,7 +7,7 @@ Timing protocol mirrors op_perftest (queries.cpp:25-60): 1 untimed warmup
 run, 2 timed runs over all queries, per-query microseconds; reports
 mean/q50/q90/q95 as a stats_line.
 
---engine resident runs the ops on the batched device engine (EF-family
+--engine resident runs the ops on the batched device engine (all 9
 index types): one prepared plan, whole-log passes per run, mean
 per-query time (per-query quantiles are not observable in a batched
 dispatch and are reported equal to the mean).
