@@ -163,6 +163,57 @@ def _full_stream(data, pos, cur, known_sum, codec, row):
     return end, ("interp", _bucket((31 + bits) // 32 + 1, _WIN_BUCKETS))
 
 
+_NATIVE_CODEC_IDS = {
+    OptPForBlock: 0, VarintG8IUBlock: 1, InterpolativeBlock: 2,
+    QMXBlock: 3, MixedBlock: 4,
+}
+
+
+def _unpack_keys(keys):
+    """Packed i64 statics keys -> (statics list, gid array). Key layout:
+    kind<<40 | p1<<30 | p2<<20 | T (ds2i_native.cpp ds2i_block_tables)."""
+    uniq, gid = np.unique(keys, return_inverse=True)
+    statics = []
+    for k in uniq:
+        k = int(k)
+        kind, p1, p2, T = k >> 40, (k >> 30) & 1023, (k >> 20) & 1023, k & 1023
+        if kind == KIND_OPT:
+            statics.append(("opt", p1, p2, T))
+        elif kind == KIND_VAR:
+            statics.append(("var", p1, T))
+        elif kind == KIND_QMX:
+            statics.append(("qmx", p1, p2, T))
+        else:
+            statics.append(("interp", p1, T))
+    return statics, gid.astype(np.int64)
+
+
+def _build_native(index, data, size, codec):
+    """Thread-parallel C++ tile-table walk; None -> pure-Python fallback.
+    Identical tables/statics to the Python walk (tests/test_engine.py)."""
+    import os
+
+    if os.environ.get("DS2I_NATIVE") == "0" or size == 0:
+        return None
+    from ..native import block_tables_native
+
+    res = block_tables_native(data, index.endpoints(), _NATIVE_CODEC_IDS[codec])
+    if res is None:
+        return None
+    docs_fields, freqs_fields, tile_list, lts, dkey, fkey = res
+    slist_d, gid_d = _unpack_keys(dkey)
+    slist_f, gid_f = _unpack_keys(fkey)
+    tables = TileTables(
+        docs=docs_fields,
+        freqs=freqs_fields,
+        tile_list=tile_list,
+        list_tile_start=lts,
+        win_words=np.zeros(len(tile_list), dtype=np.int32),
+        lb_words=np.zeros(len(tile_list), dtype=np.int32),
+    )
+    return tables, slist_d, gid_d, slist_f, gid_f
+
+
 def build_block_tables(index):
     """TileTables for a block_freq_index plus PER-STREAM group statics.
 
@@ -178,6 +229,10 @@ def build_block_tables(index):
         )
     data = np.asarray(index.lists, dtype=np.uint8)
     size = index.size()
+
+    native = _build_native(index, data, size, codec)
+    if native is not None:
+        return native
 
     d_rows, f_rows, tile_list = [], [], []
     sidx_d, slist_d, gid_d = {}, [], []

@@ -104,6 +104,23 @@ def _decode_block_stream(words, fld, st, R, is_docs, num_docs):
     return raw + 1
 
 
+def _decode_doc_group_blocks(docs_words, df, st, R, num_docs, split):
+    """One decode group's docids as masked, padded 32-slot block rows
+    (R * max(T//32, 1), 32); pad slots carry num_docs. Shared by the
+    query step's split mode and the norm-cache init so the two paths
+    cannot diverge."""
+    T = st[-1]
+    j = jnp.arange(T, dtype=jnp.int32)[None, :]
+    valid = j < df[:, F_NVALS][:, None]
+    if split:
+        doc = jnp.where(valid, _decode_block_stream(docs_words, df, st, R, True, num_docs), num_docs)
+        if T < BLOCK:  # narrow tail tiles decode short, emit one padded block
+            doc = jnp.pad(doc, ((0, 0), (0, BLOCK - T)), constant_values=num_docs)
+    else:
+        doc = jnp.where(valid, _decode_group(docs_words, df, st[1], st[2], T), num_docs)
+    return doc.reshape(-1, BLOCK)
+
+
 @partial(jax.jit, static_argnames=("groups", "num_docs", "split"))
 def _norm_cache_step(docs_words, tiles_docs, norm_lens, gtile_ids, groups, num_docs, split):
     """One-time decode of EVERY tile's docids -> per-slot norm lengths,
@@ -115,21 +132,10 @@ def _norm_cache_step(docs_words, tiles_docs, norm_lens, gtile_ids, groups, num_d
     once at init — the reference keeps norm_lens as an uncompressed
     per-doc side table (wand_data.hpp:20-53); this is that same side
     table reorganized posting-aligned, 4 bytes per posting of HBM."""
-    blocks = []
-    for off, R, st in groups:
-        ids = gtile_ids[off : off + R]
-        df = tiles_docs[ids]
-        T = st[-1]
-        j = jnp.arange(T, dtype=jnp.int32)[None, :]
-        valid = j < df[:, F_NVALS][:, None]
-        if split:
-            doc = jnp.where(valid, _decode_block_stream(docs_words, df, st, R, True, num_docs), num_docs)
-            if T < BLOCK:
-                doc = jnp.pad(doc, ((0, 0), (0, BLOCK - T)), constant_values=num_docs)
-        else:
-            dv = _decode_group(docs_words, df, st[1], st[2], T)
-            doc = jnp.where(valid, dv, num_docs)
-        blocks.append(doc.reshape(-1, BLOCK))
+    blocks = [
+        _decode_doc_group_blocks(docs_words, tiles_docs[gtile_ids[off : off + R]], st, R, num_docs, split)
+        for off, R, st in groups
+    ]
     d = jnp.concatenate(blocks, axis=0)
     return norm_lens[jnp.clip(d, 0, num_docs - 1)]
 
@@ -195,16 +201,11 @@ def _resident_step(
         d_blocks, f_blocks, nl_rows = [], [], []
         for off, R, st in groups:
             ids = gtile_ids[off : off + R]
-            df = tiles_docs[ids]
-            T = st[-1]
-            j = jnp.arange(T, dtype=jnp.int32)[None, :]
-            valid = j < df[:, F_NVALS][:, None]
-            doc = jnp.where(valid, _decode_block_stream(docs_words, df, st, R, True, num_docs), num_docs)
-            if T < BLOCK:  # narrow tail tiles decode short, emit one padded block
-                doc = jnp.pad(doc, ((0, 0), (0, BLOCK - T)), constant_values=num_docs)
-            d_blocks.append(doc.reshape(R * max(T // BLOCK, 1), BLOCK))
+            d_blocks.append(
+                _decode_doc_group_blocks(docs_words, tiles_docs[ids], st, R, num_docs, split=True)
+            )
             if ranked and normcache:
-                nl_rows.append(_cached_norm_rows(nl_blocks, tile_gblk0, ids, T))
+                nl_rows.append(_cached_norm_rows(nl_blocks, tile_gblk0, ids, st[-1]))
         for off, R, st in groups_f:
             ids = gtile_ids_f[off : off + R]
             ff = tiles_freqs[ids]
@@ -755,6 +756,13 @@ class ResidentEngine:
         queries.cpp parsing stdin into a vector once and replaying it
         across op_perftest runs (queries.cpp:25-60,124-138). Postings are
         still decoded from the compressed index on every execution."""
+        return self.collect(plan, self.dispatch(plan))
+
+    def dispatch(self, plan):
+        """Enqueue every part's device step WITHOUT downloading results
+        (jax dispatch is async). Callers coordinating several engines
+        (parallel.DocShardedEngine) dispatch all of them before any
+        collect so the devices overlap."""
         import os as _os
         import time as _time
 
@@ -828,9 +836,16 @@ class ResidentEngine:
                 tile_gblk0=tg0,
             )
             pending.append((p, out))
-
         if debug:
-            t_dispatch = _time.time() - t0
+            print(f"[resident] dispatch={(_time.time()-t0)*1e3:.0f}ms", flush=True)
+        return pending
+
+    def collect(self, plan, pending):
+        """Download + unpack the results of a dispatch()."""
+        import os as _os
+        import time as _time
+
+        debug = _os.environ.get("DS2I_ENGINE_DEBUG")
         if _os.environ.get("DS2I_ENGINE_NOFETCH"):
             t0 = _time.time()
             for p, out in pending:
@@ -863,7 +878,7 @@ class ResidentEngine:
             t_unpack += _time.time() - tf
         if debug:
             print(
-                f"[resident] parts={len(pending)} dispatch={t_dispatch*1e3:.0f}ms "
+                f"[resident] parts={len(pending)} "
                 f"fetch={t_fetch*1e3:.0f}ms unpack={t_unpack*1e3:.0f}ms",
                 flush=True,
             )

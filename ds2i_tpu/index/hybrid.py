@@ -60,7 +60,11 @@ def compute_lambdas(index, predictors, block_counts_by_list, lambdas_path):
     if os.path.exists(lambdas_path):
         logger(f"Found lambdas file {lambdas_path}, skipping recomputation")
         logger("To recompute lambdas, remove file")
-        if lambdas_path.endswith(".npz"):  # pre-extsort checkpoint format
+        # sniff the content: pre-extsort checkpoints are .npz archives (PK
+        # zip magic) regardless of filename; current ones are raw .npy
+        with open(lambdas_path, "rb") as f:
+            is_zip = f.read(2) == b"PK"
+        if is_zip:
             return np.load(lambdas_path)["lambdas"]
         return np.load(lambdas_path, mmap_mode="r")
 

@@ -64,7 +64,7 @@ def ef_write_batch_native(words, vals, voff, base_bits, universes, occs, params,
     """Batched compact-EF writer (ds2i_ef_write_batch). Writes in place
     into the zeroed u64 `words` buffer; thread-parallel over sequences."""
     lib = _load()
-    if lib is None:
+    if lib is None or not hasattr(lib, "ds2i_ef_write_batch"):
         raise RuntimeError("native library unavailable")
     if not hasattr(lib, "_ef_batch_ready"):
         lib.ds2i_ef_write_batch.restype = None
@@ -108,8 +108,8 @@ def block_write_batch_native(docs, freqs, offs, codec_name, workers=None):
     Python BlockPostingList.write path (tests/test_native.py)."""
     lib = _load()
     cid = BLOCK_CODEC_IDS.get(codec_name)
-    if lib is None or cid is None:
-        return None
+    if lib is None or cid is None or not hasattr(lib, "ds2i_block_write_batch"):
+        return None  # stale .so without the symbol: pure-Python fallback
     if not hasattr(lib, "_block_batch_ready"):
         lib.ds2i_block_write_batch.restype = ctypes.c_int64
         lib.ds2i_block_write_batch.argtypes = [
@@ -143,3 +143,50 @@ def block_write_batch_native(docs, freqs, offs, codec_name, workers=None):
     finally:
         lib.ds2i_buffer_free(outp)
     return buf, ends[:count]
+
+
+def block_tables_native(data, list_offsets, codec_id, workers=None):
+    """Batched tile-table builder (ds2i_block_tables). Returns
+    (docs_fields i32[Nt,11], freqs_fields, tile_list i64, list_tile_start
+    i64[size+1], dkey i64[Nt], fkey i64[Nt]) or None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ds2i_block_tables"):
+        return None  # stale .so without the symbol: pure-Python fallback
+    if not hasattr(lib, "_block_tables_ready"):
+        lib.ds2i_block_tables.restype = ctypes.c_int64
+        lib.ds2i_block_tables.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib._block_tables_ready = True
+    if workers is None:
+        workers = os.cpu_count() or 1
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    # spill guard: stream walks read up to one u32 past a block's last byte
+    padded = np.concatenate([data, np.zeros(8, dtype=np.uint8)])
+    offs = np.ascontiguousarray(list_offsets, dtype=np.int64)
+    size = len(offs)
+    dp = padded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    op = offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    nt = lib.ds2i_block_tables(dp, op, size, int(codec_id), int(workers),
+                               None, None, None, None, None, None)
+    if nt < 0:
+        return None
+    docs_fields = np.zeros((int(nt), 11), dtype=np.int32)
+    freqs_fields = np.zeros((int(nt), 11), dtype=np.int32)
+    tile_list = np.zeros(int(nt), dtype=np.int64)
+    lts = np.zeros(size + 1, dtype=np.int64)
+    dkey = np.zeros(int(nt), dtype=np.int64)
+    fkey = np.zeros(int(nt), dtype=np.int64)
+    lib.ds2i_block_tables(
+        dp, op, size, int(codec_id), int(workers),
+        docs_fields.ctypes.data_as(ctypes.c_void_p),
+        freqs_fields.ctypes.data_as(ctypes.c_void_p),
+        tile_list.ctypes.data_as(ctypes.c_void_p),
+        lts.ctypes.data_as(ctypes.c_void_p),
+        dkey.ctypes.data_as(ctypes.c_void_p),
+        fkey.ctypes.data_as(ctypes.c_void_p),
+    )
+    return docs_fields, freqs_fields, tile_list, lts, dkey, fkey

@@ -706,3 +706,287 @@ int64_t ds2i_block_write_batch(
 void ds2i_buffer_free(uint8_t* p) { free(p); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched block tile-table builder.
+//
+// Native twin of engine/block_tiles.py build_block_tables: per 128-int
+// block and per stream (docs, freqs), record the O(1) decode constants the
+// device kernels need. The Python walk decodes every interpolative tail to
+// find its bit length; at 20M+ postings that dominates engine init, so the
+// whole walk runs here. Group statics come back as packed keys
+// (kind | p1 | p2 | T) that Python un-interns with np.unique — identical
+// tables and keys to the Python builder (tests/test_engine.py).
+
+namespace blocktab {
+
+constexpr uint32_t UNKNOWN_SUM = 0xFFFFFFFFu;
+constexpr int TILE128 = 128;
+// field columns (engine/tiles.py N_FIELDS layout + block_tiles.py reuse)
+constexpr int NF = 11;
+constexpr int F_KIND = 0, BF_BIT0 = 1, BF_B = 2, BF_NEX = 3, BF_EX0 = 4,
+              F_BASE = 8, F_NVALS = 9;
+constexpr int KIND_OPT = 8, KIND_INTERP = 9, KIND_VAR = 10, KIND_QMX = 11;
+
+inline int bucket(long v, const int* t, int n) {
+    for (int i = 0; i < n; i++) if (v <= t[i]) return t[i];
+    return t[n - 1];
+}
+const int E_BUCKETS[] = {0, 4, 8, 16, 32, 64, 128};
+const int NC_BUCKETS[] = {8, 16, 32, 64, 128};
+const int WIN_BUCKETS[] = {4, 16, 64, 180};
+const int G_BUCKETS[] = {24, 40, 64};
+const int NW_BUCKETS[] = {8, 32, 128};
+const int S_BUCKETS[] = {8, 16, 32};
+
+inline uint32_t rd_u32(const uint8_t* d, long p) {
+    return (uint32_t)d[p] | ((uint32_t)d[p + 1] << 8) |
+           ((uint32_t)d[p + 2] << 16) | ((uint32_t)d[p + 3] << 24);
+}
+
+inline uint64_t vbyte_read(const uint8_t* d, long& p) {
+    uint64_t v = 0;
+    int shift = 0;
+    while (true) {
+        uint8_t c = d[p++];
+        v |= (uint64_t)(c & 0x7F) << shift;
+        shift += 7;
+        if (c & 0x80) break;
+    }
+    return v;
+}
+
+// simple16 mode sizes (values per selector)
+const int S16_COUNT[16] = {28, 21, 21, 14, 12, 12, 7, 6, 6, 5, 5, 4, 3, 3, 2, 1};
+
+inline int s16_words(const uint8_t* d, long pos, int nvals) {
+    int got = 0, w = 0;
+    while (got < nvals) {
+        got += S16_COUNT[rd_u32(d, pos + 4 * w) >> 28];
+        w++;
+    }
+    return w;
+}
+
+struct BitReader {
+    const uint8_t* buf;
+    long byte0;
+    long word_idx = 0;
+    int avail = 0;
+    uint64_t acc = 0;
+    long pos = 0;
+    BitReader(const uint8_t* b, long p) : buf(b), byte0(p) {}
+    uint64_t read(int length) {
+        if (!length) return 0;
+        while (avail < length) {
+            acc |= (uint64_t)rd_u32(buf, byte0 + word_idx * 4) << avail;
+            avail += 32;
+            word_idx++;
+        }
+        uint64_t val = acc & ((length < 64) ? ((uint64_t(1) << length) - 1) : ~uint64_t(0));
+        acc >>= length;
+        avail -= length;
+        pos += length;
+        return val;
+    }
+    uint64_t read_int(uint64_t u) {
+        int b = 63 - __builtin_clzll(u);
+        uint64_t m = (uint64_t(1) << (b + 1)) - u;
+        uint64_t val = read(b);
+        if (val >= m) val = (val << 1) + read(1) - m;
+        return val;
+    }
+    void walk(long n, uint64_t low, uint64_t high) {
+        if (n <= 0) return;
+        long h = n / 2;
+        uint64_t val = low + read_int(high - low + 1);
+        walk(h, low, val);
+        walk(n - 1 - h, val, high);
+    }
+};
+
+// returns end byte; fills row + packed key pieces
+inline long interp_stream(const uint8_t* d, long pos, int cur, uint32_t known_sum,
+                          int32_t* row, int& kind, int& p1, int& p2) {
+    long q = pos;
+    uint64_t s = known_sum;
+    if (known_sum == UNKNOWN_SUM) s = vbyte_read(d, q);
+    long end = q;
+    if (cur > 1) {
+        BitReader br(d, q);
+        br.walk(cur - 1, 0, s);
+        end = q + (br.pos + 7) / 8;
+    }
+    row[F_KIND] = KIND_INTERP;
+    row[BF_BIT0] = (int32_t)(q * 8);
+    row[BF_EX0] = (int32_t)s;
+    row[F_NVALS] = cur;
+    long bits = (end - q) * 8;
+    kind = KIND_INTERP;
+    p1 = bucket((31 + bits) / 32 + 1, WIN_BUCKETS, 4);
+    p2 = 0;
+    return end;
+}
+
+inline long opt_stream(const uint8_t* d, long pos, int cur, int32_t* row,
+                       int& kind, int& p1, int& p2) {
+    int b = d[pos];
+    int nex = d[pos + 1];
+    long sw = ((long)cur * (b < 32 ? b : 32) + 31) / 32;
+    long ex_pos = pos + 2 + 4 * sw;
+    int ew = nex ? s16_words(d, ex_pos, 2 * nex) : 0;
+    row[F_KIND] = KIND_OPT;
+    row[BF_BIT0] = (int32_t)((pos + 2) * 8);
+    row[BF_B] = b;
+    row[BF_NEX] = nex;
+    row[BF_EX0] = (int32_t)(ex_pos * 8);
+    row[F_NVALS] = cur;
+    kind = KIND_OPT;
+    p1 = b;  // exact width (static-width kernel path)
+    p2 = bucket(nex, E_BUCKETS, 7);
+    return ex_pos + 4 * ew;
+}
+
+inline long var_stream(const uint8_t* d, long pos, int cur, int32_t* row,
+                       int& kind, int& p1, int& p2) {
+    int got = 0, g = 0;
+    while (got < cur) {
+        got += __builtin_popcount(d[pos + 9 * g]);
+        g++;
+    }
+    row[F_KIND] = KIND_VAR;
+    row[BF_BIT0] = (int32_t)pos;  // BYTE offset
+    row[BF_B] = g;
+    row[F_NVALS] = cur;
+    kind = KIND_VAR;
+    p1 = bucket(g, G_BUCKETS, 3);
+    p2 = 0;
+    return pos + 9 * g;
+}
+
+inline long qmx_stream(const uint8_t* d, long pos, int cur, int32_t* row,
+                       int& kind, int& p1, int& p2) {
+    long q = pos;
+    uint64_t plen = vbyte_read(d, q);
+    long nw = (long)plen / 16;
+    long sel0 = q + (long)plen;
+    long covered = 0, ns = 0;
+    while (covered < nw) {
+        covered += d[sel0 + ns] & 15;
+        ns++;
+    }
+    row[F_KIND] = KIND_QMX;
+    row[BF_BIT0] = (int32_t)(q * 8);
+    row[BF_B] = (int32_t)nw;
+    row[BF_NEX] = (int32_t)ns;
+    row[BF_EX0] = (int32_t)sel0;
+    row[F_NVALS] = cur;
+    kind = KIND_QMX;
+    p1 = bucket(nw, NW_BUCKETS, 3);
+    p2 = bucket(ns, S_BUCKETS, 3);
+    return sel0 + ns;
+}
+
+// codec ids: 0 optpfor, 1 varint, 2 interpolative, 3 qmx, 4 mixed
+// (mixed per-block type byte: 0 pfor, 1 varint, 2 interpolative)
+inline long full_stream(const uint8_t* d, long pos, int cur, uint32_t known_sum,
+                        int codec, int32_t* row, int& kind, int& p1, int& p2) {
+    if (codec == 4) {
+        int t = d[pos++];
+        codec = (t == 0) ? 0 : (t == 1) ? 1 : 2;
+    }
+    switch (codec) {
+        case 0: return opt_stream(d, pos, cur, row, kind, p1, p2);
+        case 1: return var_stream(d, pos, cur, row, kind, p1, p2);
+        case 3: return qmx_stream(d, pos, cur, row, kind, p1, p2);
+        default: return interp_stream(d, pos, cur, known_sum, row, kind, p1, p2);
+    }
+}
+
+}  // namespace blocktab
+
+extern "C" {
+
+// Pass 1 (fields == NULL): returns the total tile count.
+// Pass 2: fills docs_fields/freqs_fields (n_tiles x 8 i32), tile_list
+// (i64), list_tile_start (size+1 i64), dkey/fkey (i64 packed statics:
+// kind<<40 | p1<<30 | p2<<20 | T). Thread-parallel over lists (pass 2)
+// using per-list tile offsets computed in pass 1 via list_tile_start.
+int64_t ds2i_block_tables(
+    const uint8_t* data, const int64_t* list_offsets, int64_t size, int codec,
+    int nthreads,
+    int32_t* docs_fields, int32_t* freqs_fields, int64_t* tile_list,
+    int64_t* list_tile_start, int64_t* dkey, int64_t* fkey)
+{
+    using namespace blocktab;
+    if (docs_fields == nullptr) {
+        int64_t tiles = 0;
+        for (int64_t i = 0; i < size; i++) {
+            long p = (long)list_offsets[i];
+            uint64_t n = vbyte_read(data, p);
+            tiles += (int64_t)((n + TILE128 - 1) / TILE128);
+        }
+        return tiles;
+    }
+    // per-list tile starts first (cheap scan), then parallel fill
+    list_tile_start[0] = 0;
+    for (int64_t i = 0; i < size; i++) {
+        long p = (long)list_offsets[i];
+        uint64_t n = vbyte_read(data, p);
+        list_tile_start[i + 1] = list_tile_start[i] + (int64_t)((n + TILE128 - 1) / TILE128);
+    }
+    if (nthreads < 1) nthreads = 1;
+    auto work = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; i++) {
+            long p = (long)list_offsets[i];
+            uint64_t n = vbyte_read(data, p);
+            long blocks = (long)((n + TILE128 - 1) / TILE128);
+            // header: maxs[blocks] + endpoints[blocks-1]
+            long maxs_at = p;
+            p += 4 * blocks + 4 * (blocks - 1);
+            int64_t t0 = list_tile_start[i];
+            long block_base = 0;
+            for (long bi = 0; bi < blocks; bi++) {
+                long lo_v = bi * TILE128;
+                int cur = (int)std::min<long>(TILE128, (long)n - lo_v);
+                long last = rd_u32(data, maxs_at + 4 * bi);
+                int32_t* drow = docs_fields + (t0 + bi) * NF;
+                int32_t* frow = freqs_fields + (t0 + bi) * NF;
+                uint32_t sum_d = (uint32_t)(last - block_base - (cur - 1));
+                int dk, dp1, dp2, fk, fp1, fp2, T;
+                long p2, p3;
+                if (cur == TILE128) {
+                    p2 = full_stream(data, p, cur, sum_d, codec, drow, dk, dp1, dp2);
+                    p3 = full_stream(data, p2, cur, UNKNOWN_SUM, codec, frow, fk, fp1, fp2);
+                    T = TILE128;
+                } else {
+                    p2 = interp_stream(data, p, cur, sum_d, drow, dk, dp1, dp2);
+                    p3 = interp_stream(data, p2, cur, UNKNOWN_SUM, frow, fk, fp1, fp2);
+                    T = bucket(cur, NC_BUCKETS, 5);
+                }
+                drow[F_BASE] = (int32_t)block_base;
+                tile_list[t0 + bi] = i;
+                dkey[t0 + bi] = ((int64_t)dk << 40) | ((int64_t)dp1 << 30) | ((int64_t)dp2 << 20) | T;
+                fkey[t0 + bi] = ((int64_t)fk << 40) | ((int64_t)fp1 << 30) | ((int64_t)fp2 << 20) | T;
+                p = p3;
+                block_base = last + 1;
+            }
+        }
+    };
+    int nt = (int)std::min<int64_t>(nthreads, std::max<int64_t>(size, 1));
+    if (nt == 1 || size < 64) {
+        work(0, size);
+    } else {
+        std::vector<std::thread> ts;
+        int64_t chunk = (size + nt - 1) / nt;
+        for (int t = 0; t < nt; t++) {
+            int64_t lo = t * chunk, hi = std::min<int64_t>(size, lo + chunk);
+            if (lo >= hi) break;
+            ts.emplace_back(work, lo, hi);
+        }
+        for (auto& th : ts) th.join();
+    }
+    return list_tile_start[size];
+}
+
+}  // extern "C"

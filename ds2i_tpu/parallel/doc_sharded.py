@@ -34,7 +34,14 @@ def shard_index_by_doc_range(index, num_shards):
     num_docs; term_remaps[i][t] is t's list id in shard i or -1."""
     N = index.num_docs()
     L = index.size()
-    cls = make_index_type(index.index_type_name)
+    type_name = index.index_type_name
+    if type_name == "block_mixed":
+        # mixed indexes only build by transformation (the WSDM'15 per-block
+        # assignment optimizes the UNSHARDED index); shards re-encode as
+        # block_optpfor — same results, re-run the hybrid pipeline per
+        # shard to re-optimize space/time if desired
+        type_name = "block_optpfor"
+    cls = make_index_type(type_name)
     bounds = np.array([round(N * s / num_shards) for s in range(num_shards + 1)], dtype=np.int64)
 
     builders = [cls.builder(N, index.params) for _ in range(num_shards)]
@@ -94,7 +101,11 @@ class DocShardedEngine:
     def execute(self, plan):
         # dispatch every shard before fetching any: shards overlap on
         # their own devices exactly like parts do on one
-        per_shard = [e.execute(p) for e, p in zip(self.engines, plan["shards"])]
+        pendings = [e.dispatch(p) for e, p in zip(self.engines, plan["shards"])]
+        per_shard = [
+            e.collect(p, pend)
+            for e, p, pend in zip(self.engines, plan["shards"], pendings)
+        ]
         k = plan["k"]
         merged = []
         for qi in range(plan["n"]):

@@ -289,3 +289,40 @@ def test_doc_sharded_engine_matches_single(coll, name):
     want_or = single.ranked_or(queries, k=10)
     for g, w in zip(got_or, want_or):
         np.testing.assert_allclose(g, w, rtol=1e-3)
+
+
+@pytest.mark.parametrize("name", ["block_optpfor", "block_varint", "block_interpolative", "block_qmx", "block_mixed"])
+def test_native_block_tables_match_python(coll, name, monkeypatch):
+    """The native tile-table walk must produce the same field tables and
+    equivalent group statics as the Python walk, for every block codec."""
+    from ds2i_tpu.native import available
+
+    if not available():
+        pytest.skip("native library not built")
+    from ds2i_tpu.engine.block_tiles import build_block_tables
+    from ds2i_tpu.index.hybrid import rebuild_mixed
+
+    c, index = build(coll, "block_optpfor" if name == "block_mixed" else name)
+    if name == "block_mixed":
+        nb = sum(-(-index.list_length(l) // 128) for l in range(index.size()))
+        # cycle pfor/varint/interpolative so every mixed dispatch branch of
+        # the native walk is exercised (partial blocks coerce to interp)
+        types = (np.arange(2 * nb) % 3).astype(np.uint8)
+        params = np.where(types == 0, 10, 0).astype(np.uint8)  # pfor: b=10
+        index = rebuild_mixed(index, types, params, index.params)
+
+    monkeypatch.setenv("DS2I_NATIVE", "0")
+    t_py, sd_py, gd_py, sf_py, gf_py = build_block_tables(index)
+    monkeypatch.setenv("DS2I_NATIVE", "1")
+    t_nat, sd_nat, gd_nat, sf_nat, gf_nat = build_block_tables(index)
+
+    np.testing.assert_array_equal(t_nat.docs, t_py.docs)
+    np.testing.assert_array_equal(t_nat.freqs, t_py.freqs)
+    np.testing.assert_array_equal(t_nat.tile_list, t_py.tile_list)
+    np.testing.assert_array_equal(t_nat.list_tile_start, t_py.list_tile_start)
+    # statics sets are equal and per-tile statics agree (gid numbering may differ)
+    for s_py, g_py, s_nat, g_nat in ((sd_py, gd_py, sd_nat, gd_nat), (sf_py, gf_py, sf_nat, gf_nat)):
+        assert sorted(map(tuple, s_py)) == sorted(map(tuple, s_nat))
+        st_py = [tuple(s_py[g]) for g in g_py]
+        st_nat = [tuple(s_nat[g]) for g in g_nat]
+        assert st_py == st_nat

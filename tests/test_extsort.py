@@ -79,3 +79,27 @@ def test_compute_lambdas_checkpoint_and_budget(tmp_path, monkeypatch):
         )
     finally:
         Configuration.reset()
+
+
+def test_lambdas_checkpoint_npz_named_path(tmp_path, monkeypatch):
+    """A checkpoint whose FILENAME says .npz but whose content is the
+    current raw-.npy format must reload correctly (content is sniffed,
+    not the name), and genuine legacy .npz archives still load."""
+    import numpy as np
+
+    from ds2i_tpu.index.hybrid import LAMBDA_DTYPE, compute_lambdas
+
+    rng = np.random.default_rng(3)
+    arr = _random_lambdas(rng, 500)
+    arr = arr[np.argsort(arr["lambda"], kind="stable")]
+
+    legacy = tmp_path / "legacy.npz"
+    np.savez_compressed(legacy, lambdas=arr)
+    got = compute_lambdas(None, None, None, str(legacy))
+    np.testing.assert_array_equal(np.asarray(got), arr)
+
+    modern = tmp_path / "modern.npz"  # misleading name, raw .npy content
+    with open(modern, "wb") as f:
+        np.save(f, arr)
+    got = compute_lambdas(None, None, None, str(modern))
+    np.testing.assert_array_equal(np.asarray(got), arr)
