@@ -326,3 +326,24 @@ def test_native_block_tables_match_python(coll, name, monkeypatch):
         st_py = [tuple(s_py[g]) for g in g_py]
         st_nat = [tuple(s_nat[g]) for g in g_nat]
         assert st_py == st_nat
+
+
+def test_engine_edge_queries(coll):
+    """Empty queries, single-term queries, and k larger than any result
+    set flow through the batched engine without error and match the
+    oracle."""
+    c, index = build(coll, "ef")
+    wdata = WandData.build(read_sizes(coll), c)
+    engine = ResidentEngine(index, wdata)
+    queries = [[], [5], [5, 5, 5], list(range(1, 9))]
+    got_and = engine.and_counts(queries)
+    got_or = engine.or_counts(queries)
+    for i, terms in enumerate(queries):
+        assert got_and[i] == (and_query(index, terms) if terms else 0)
+        assert got_or[i] == (or_query(index, terms) if terms else 0)
+    got = engine.ranked_and(queries, k=100)
+    for i, terms in enumerate(queries):
+        exp = ranked_and_query(index, wdata, terms, k=100) if terms else []
+        assert len(got[i]) == len(exp)
+        if exp:
+            np.testing.assert_allclose(got[i], exp, rtol=1e-3)
