@@ -68,6 +68,51 @@ def _collection_from_raw(words, nbits, endpoints, params):
     return BitvectorCollection(size, eb.build(), bits_bv, params)
 
 
+def build_seq_collections(kind_name, docs_lists, freqs_lists, occs, num_docs, params, workers=None):
+    """Native batched construction for the `single` / `uniform` / `opt`
+    index types (ds2i_native.cpp ds2i_seq_write_batch): whole-list docs
+    (header + indexed/partitioned sequence) and freqs (positive strict
+    sequence) streams encoded in C++ worker threads, bit-identical to the
+    Python writers (tests/test_native.py). Returns None to fall back."""
+    from ..native import seq_write_batch_native
+
+    count = len(docs_lists)
+    ns = np.array([len(d) for d in docs_lists], dtype=np.int64)
+    occs = np.asarray(occs, dtype=np.int64)
+    voff = np.zeros(count + 1, dtype=np.int64)
+    np.cumsum(ns, out=voff[1:])
+    docs_v = np.concatenate(docs_lists).astype(_U64) if count else np.zeros(0, _U64)
+    freqs_v = np.concatenate(freqs_lists).astype(np.int64) if count else np.zeros(0, np.int64)
+
+    # the native DP takes u32 values (docs and freq prefix sums)
+    if num_docs >= 2**32 or (count and int(occs.max()) + 1 >= 2**32):
+        return None
+
+    # validation (mirrors the Python writers' checks)
+    if np.any(docs_v >= _U64(num_docs)):
+        raise ValueError("Value out of universe bounds")
+    if len(docs_v):
+        gaps_ok = np.ones(len(docs_v), dtype=bool)
+        gaps_ok[1:] = np.diff(docs_v.astype(np.int64)) >= 0
+        gaps_ok[voff[:-1][ns > 0]] = True
+        if not np.all(gaps_ok):
+            raise ValueError("Sequence is not sorted")
+    if np.any(freqs_v <= 0):
+        raise ValueError("positive_sequence requires positive values")
+
+    res = seq_write_batch_native(
+        kind_name, docs_v, freqs_v.astype(_U64), voff, num_docs, occs.astype(_U64),
+        params, workers,
+    )
+    if res is None:
+        return None
+    d_words, d_bits, d_off, f_words, f_bits, f_off = res
+    return (
+        _collection_from_raw(d_words, d_bits, d_off, params),
+        _collection_from_raw(f_words, f_bits, f_off, params),
+    )
+
+
 def build_ef_collections(docs_lists, freqs_lists, occs, num_docs, params, workers=None):
     """Build the (docs, freqs) BitvectorCollections of an `ef` index from
     raw per-list arrays in one native batch. Returns None if the native

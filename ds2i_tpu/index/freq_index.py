@@ -81,10 +81,14 @@ class FreqIndex:
             self.docs_builder = BitvectorCollection.Builder(params)
             self.freqs_builder = BitvectorCollection.Builder(params)
             self.pool = OrderedBuildPool(workers=workers)
-            self._fast = self._fast_eligible() and []
+            self._fast_mode = self._fast_eligible()
+            self._fast = [] if self._fast_mode else False
             self._fast_occs = []
 
         def _fast_eligible(self):
+            """Returns the native fast-path mode ("ef" via the batched EF
+            writer; "single"/"uniform"/"opt" via the batched sequence
+            writer) or False for the generic OrderedBuildPool path."""
             import os
 
             if os.environ.get("DS2I_NATIVE") == "0":
@@ -94,13 +98,19 @@ class FreqIndex:
             from ..sequences.selectors import PositiveSequence
 
             cls = self.index_cls
-            return (
-                available()
-                and cls.docs_sequence_type is CompactEliasFano
+            if not available():
+                return False
+            if (
+                cls.docs_sequence_type is CompactEliasFano
                 and isinstance(cls.freqs_sequence_type, type)
                 and issubclass(cls.freqs_sequence_type, PositiveSequence)
                 and cls.freqs_sequence_type.base_sequence_type is StrictEliasFano
-            )
+            ):
+                return "ef"
+            name = getattr(cls, "index_type_name", None)
+            if name in ("single", "uniform", "opt"):
+                return name
+            return False
 
         def add_posting_list(self, n, docs, freqs, occurrences):
             if not n:
@@ -132,19 +142,26 @@ class FreqIndex:
 
         def build(self):
             if self._fast:
-                from .fast_build import build_ef_collections
+                from .fast_build import build_ef_collections, build_seq_collections
 
-                built = build_ef_collections(
+                args = (
                     [d for d, _ in self._fast],
                     [f for _, f in self._fast],
                     self._fast_occs,
                     self.num_docs,
                     self.params,
-                    workers=self.workers,
                 )
+                if self._fast_mode == "ef":
+                    built = build_ef_collections(*args, workers=self.workers)
+                else:
+                    built = build_seq_collections(self._fast_mode, *args, workers=self.workers)
                 if built is not None:
                     docs_coll, freqs_coll = built
                     return self.index_cls(self.params, self.num_docs, docs_coll, freqs_coll)
+                # native batch unavailable after all: replay through the pool
+                deferred, self._fast = self._fast, False
+                for (docs, freqs), occ in zip(deferred, self._fast_occs):
+                    self.add_posting_list(len(docs), docs, freqs, occ)
             self.pool.complete()
             return self.index_cls(
                 self.params,

@@ -190,3 +190,73 @@ def block_tables_native(data, list_offsets, codec_id, workers=None):
         fkey.ctypes.data_as(ctypes.c_void_p),
     )
     return docs_fields, freqs_fields, tile_list, lts, dkey, fkey
+
+
+SEQ_KINDS = {"single": 0, "uniform": 1, "opt": 2}
+
+
+def seq_write_batch_native(kind_name, docs, freqs, voff, num_docs, occs, params, workers=None):
+    """Batched construction for the single/uniform/opt index types
+    (ds2i_seq_write_batch): per-list docs (header + selector/partitioned
+    sequence) and freqs (positive strict sequence) bit streams. Two-pass:
+    sizes, then parallel OR-blit at exclusive-scan offsets. Returns
+    (d_words u64, d_bits, d_ends, f_words, f_bits, f_ends) or None."""
+    from ..config import Configuration
+
+    lib = _load()
+    kind = SEQ_KINDS.get(kind_name)
+    if lib is None or kind is None or not hasattr(lib, "ds2i_seq_write_batch"):
+        return None
+    if not hasattr(lib, "_seq_batch_ready"):
+        lib.ds2i_seq_write_batch.restype = ctypes.c_int64
+        lib.ds2i_seq_write_batch.argtypes = [
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_uint64, ctypes.c_int,
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib._seq_batch_ready = True
+    if workers is None:
+        workers = os.cpu_count() or 1
+    conf = Configuration.get()
+    docs = np.ascontiguousarray(docs, dtype=np.uint64)
+    freqs = np.ascontiguousarray(freqs, dtype=np.uint64)
+    voff = np.ascontiguousarray(voff, dtype=np.int64)
+    occs = np.ascontiguousarray(occs, dtype=np.uint64)
+    count = len(voff) - 1
+    d_ends = np.zeros(max(count, 1), dtype=np.int64)
+    f_ends = np.zeros(max(count, 1), dtype=np.int64)
+    args_head = (
+        kind,
+        docs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        freqs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        voff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        count, int(num_docs),
+        occs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        int(params.ef_log_sampling0), int(params.ef_log_sampling1),
+        int(params.rb_log_rank1_sampling), int(params.rb_log_sampling1),
+        int(params.log_partition_size),
+        float(conf.eps1), float(conf.eps2), int(conf.fix_cost), int(workers),
+    )
+    de = d_ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    fe = f_ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    lib.ds2i_seq_write_batch(*args_head, None, de, None, fe)  # size pass
+    d_sizes, f_sizes = d_ends.copy(), f_ends.copy()
+    d_off = np.zeros(count + 1, dtype=np.int64)
+    np.cumsum(d_sizes[:count], out=d_off[1:])
+    f_off = np.zeros(count + 1, dtype=np.int64)
+    np.cumsum(f_sizes[:count], out=f_off[1:])
+    d_ends[:count] = d_off[:-1]
+    f_ends[:count] = f_off[:-1]
+    d_words = np.zeros(int(d_off[-1] + 63) // 64 + 1, dtype=np.uint64)
+    f_words = np.zeros(int(f_off[-1] + 63) // 64 + 1, dtype=np.uint64)
+    lib.ds2i_seq_write_batch(
+        *args_head,
+        d_words.ctypes.data_as(ctypes.c_void_p), de,
+        f_words.ctypes.data_as(ctypes.c_void_p), fe,
+    )
+    return d_words, int(d_off[-1]), d_off, f_words, int(f_off[-1]), f_off

@@ -990,3 +990,325 @@ int64_t ds2i_block_tables(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched construction for the selector/partitioned index types
+// (`single`, `uniform`, `opt`).
+//
+// Native twin of the Python writers in sequences/{selectors,partitioned}.py
+// + freq_index headers, bit-identical (tests/test_native.py): each list is
+// encoded into a thread-local bit buffer (docs: header + docs sequence;
+// freqs: positive/strict sequence of the prefix sums), then all buffers
+// are OR-blitted into the two collection bitvectors at exclusive-scan
+// offsets. The partition DP reuses ds2i_optimal_partition's machinery.
+
+namespace seqw {
+
+constexpr uint64_t INF = uint64_t(1) << 62;
+
+struct Params {
+    int ef_s0, ef_s1, rb_rank, rb_sel;
+};
+
+struct Builder {
+    std::vector<uint64_t> w;
+    int64_t size = 0;
+
+    void ensure_bits(int64_t bits) {
+        size_t need = (size_t)((bits + 63) / 64) + 1;
+        if (w.size() < need) w.resize(need, 0);
+    }
+    void or_at(int64_t pos, uint64_t value, int width) {
+        if (width <= 0) return;
+        if (width < 64) value &= (uint64_t(1) << width) - 1;
+        int64_t wi = pos >> 6;
+        int s = (int)(pos & 63);
+        w[wi] |= value << s;
+        if (s + width > 64) w[wi + 1] |= value >> (64 - s);
+    }
+    void append_bits(uint64_t value, int width) {
+        ensure_bits(size + width);
+        or_at(size, value, width);
+        size += width;
+    }
+    void zero_extend(int64_t bits) {
+        ensure_bits(size + bits);
+        size += bits;
+    }
+    void append_builder(const Builder& o) {
+        ensure_bits(size + o.size);
+        int64_t nw = (o.size + 63) / 64;
+        for (int64_t i = 0; i < nw; i++) {
+            int width = (int)std::min<int64_t>(64, o.size - 64 * i);
+            or_at(size + 64 * i, o.w[i], width);
+        }
+        size += o.size;
+    }
+    // gamma/delta (bitvec/codes.py)
+    void gamma(uint64_t x) {
+        uint64_t nn = x + 1;
+        int l = (int)msb(nn);
+        append_bits(uint64_t(1) << l, l + 1);
+        append_bits(nn ^ (uint64_t(1) << l), l);
+    }
+    void gamma_nonzero(uint64_t x) { gamma(x - 1); }
+    void delta(uint64_t x) {
+        uint64_t nn = x + 1;
+        int l = (int)msb(nn);
+        gamma((uint64_t)l);
+        append_bits(nn ^ (uint64_t(1) << l), l);
+    }
+};
+
+inline uint64_t ef_bitsize(const Params& p, uint64_t universe, uint64_t n) {
+    uint64_t l = universe > n ? msb(universe / n) : 0;
+    uint64_t hb = n + (universe >> l) + 2;
+    uint64_t ps = ceil_log2(hb);
+    return (((hb - n) >> p.ef_s0) + (n >> p.ef_s1)) * ps + hb + n * l;
+}
+
+inline uint64_t rb_bitsize(const Params& p, uint64_t universe, uint64_t n) {
+    return (universe >> p.rb_rank) * ceil_log2(n + 1) +
+           (n >> p.rb_sel) * ceil_log2(universe) + universe;
+}
+
+// compact EF append at the builder's end (ef_write_one writes by OR)
+inline void ef_append(Builder& b, const Params& p, const uint64_t* v, int64_t n, uint64_t universe) {
+    int64_t base = b.size;
+    b.zero_extend((int64_t)ef_bitsize(p, universe, (uint64_t)n));
+    ef_write_one(b.w.data(), v, n, universe, base, p.ef_s0, p.ef_s1);
+}
+
+// ranked bitvector append (sequences/ef.py CompactRankedBitvector.write)
+inline void rb_append(Builder& b, const Params& p, const uint64_t* v, int64_t n, uint64_t universe) {
+    int64_t base = b.size;
+    uint64_t rss = ceil_log2((uint64_t)n + 1);
+    uint64_t ps = ceil_log2(universe);
+    int64_t rank1_samples = (int64_t)(universe >> p.rb_rank);
+    int64_t pointers1 = n >> p.rb_sel;
+    int64_t rank_off = base;
+    int64_t ptr_off = rank_off + rank1_samples * (int64_t)rss;
+    int64_t bits_off = ptr_off + pointers1 * (int64_t)ps;
+    b.zero_extend(bits_off - base + (int64_t)universe);
+
+    for (int64_t i = 0; i < n; i++) {
+        int64_t pos = bits_off + (int64_t)v[i];
+        b.w[pos >> 6] |= uint64_t(1) << (pos & 63);
+    }
+    int64_t vi = 0;
+    for (int64_t k = 1; k <= rank1_samples; k++) {
+        uint64_t spos = (uint64_t)k << p.rb_rank;
+        if (spos >= universe) break;
+        while (vi < n && v[vi] < spos) vi++;  // rank = #ones strictly below
+        b.or_at(rank_off + (k - 1) * (int64_t)rss, (uint64_t)vi, (int)rss);
+    }
+    for (int64_t k = 1; k <= pointers1; k++) {
+        int64_t idx = k << p.rb_sel;
+        if (idx >= n) break;
+        b.or_at(ptr_off + (k - 1) * (int64_t)ps, v[idx], (int)ps);
+    }
+}
+
+// selectors.py IndexedSequence/StrictSequence: choice + 1 type bit
+// (all_ones implicit). strict: EF over u-n+1 of v-i, sampling disabled.
+inline uint64_t indexed_bitsize2(const Params& p, uint64_t u, uint64_t n, bool strict) {
+    Params sp = strict ? Params{63, p.ef_s1, 63, p.rb_sel} : p;
+    uint64_t best = (u == n) ? 0 : INF;
+    uint64_t ef = (strict ? ef_bitsize(sp, u - n + 1, n) : ef_bitsize(sp, u, n)) + 1;
+    if (ef < best) best = ef;
+    uint64_t rb = rb_bitsize(sp, u, n) + 1;
+    if (rb < best) best = rb;
+    return best;
+}
+
+inline void indexed_append(Builder& b, const Params& p, const uint64_t* v, int64_t n,
+                           uint64_t u, bool strict, std::vector<uint64_t>& scratch) {
+    Params sp = strict ? Params{63, p.ef_s1, 63, p.rb_sel} : p;
+    uint64_t best = (u == (uint64_t)n) ? 0 : INF;
+    int type = 2;  // all_ones
+    uint64_t ef = (strict ? ef_bitsize(sp, u - n + 1, n) : ef_bitsize(sp, u, n)) + 1;
+    if (ef < best) { best = ef; type = 0; }
+    uint64_t rb = rb_bitsize(sp, u, n) + 1;
+    if (rb < best) { best = rb; type = 1; }
+    if (u != (uint64_t)n) b.append_bits((uint64_t)type, 1);
+    if (type == 0) {
+        if (strict) {
+            scratch.resize(n);
+            for (int64_t i = 0; i < n; i++) scratch[i] = v[i] - (uint64_t)i;
+            ef_append(b, sp, scratch.data(), n, u - n + 1);
+        } else {
+            ef_append(b, sp, v, n, u);
+        }
+    } else if (type == 1) {
+        rb_append(b, sp, v, n, u);
+    }
+    // all_ones: nothing
+}
+
+// partitioned.py write; kind: 0 = single-partition container is N/A here —
+// this is the partitioned container used by `uniform` (fixed 2^log) and
+// `opt` (DP). strict_base selects StrictSequence partitions.
+inline void partitioned_append(
+    Builder& b, const Params& p, const uint64_t* v, int64_t n, uint64_t universe,
+    bool uniform, bool strict_base, int log_part,
+    double eps1, double eps2, uint64_t fix_cost,
+    std::vector<uint32_t>& part_scratch, std::vector<uint64_t>& scratch,
+    std::vector<uint64_t>& scratch2)
+{
+    // partition points (ends), 1-based positions
+    part_scratch.clear();
+    if (uniform) {
+        int64_t psz = int64_t(1) << log_part;
+        for (int64_t e = psz; e < n; e += psz) part_scratch.push_back((uint32_t)e);
+        part_scratch.push_back((uint32_t)n);
+    } else {
+        // reuse the DP (values fit u32 per caller contract)
+        std::vector<uint32_t> v32(n);
+        for (int64_t i = 0; i < n; i++) v32[i] = (uint32_t)v[i];
+        part_scratch.resize(n + 1);
+        long cnt = ds2i_optimal_partition(
+            v32.data(), (uint64_t)n, universe, eps1, eps2, fix_cost,
+            strict_base ? 1 : 0, (uint64_t)p.ef_s0, (uint64_t)p.ef_s1,
+            (uint64_t)p.rb_rank, (uint64_t)p.rb_sel,
+            part_scratch.data(), (uint64_t)part_scratch.size());
+        part_scratch.resize(cnt);
+    }
+    int64_t partitions = (int64_t)part_scratch.size();
+    b.gamma_nonzero((uint64_t)partitions);
+
+    if (partitions == 1) {
+        uint64_t cur_base = v[0];
+        scratch.resize(n);
+        for (int64_t i = 0; i < n; i++) scratch[i] = v[i] - cur_base;
+        uint64_t ub = ceil_log2(universe);
+        b.append_bits(cur_base, (int)ub);
+        if (n > 1) {
+            if (cur_base + scratch[n - 1] + 1 == universe) b.delta(0);
+            else b.delta(scratch[n - 1]);
+        }
+        indexed_append(b, p, scratch.data(), n, scratch[n - 1] + 1, strict_base, scratch2);
+        return;
+    }
+
+    Builder seqs;
+    std::vector<uint64_t> endpoints, ubs;
+    ubs.push_back(v[0]);
+    uint64_t cur_base = v[0];
+    int64_t cur_i = 0;
+    for (int64_t pi = 0; pi < partitions; pi++) {
+        int64_t pend = (int64_t)part_scratch[pi];
+        int64_t m = pend - cur_i;
+        scratch.resize(m);
+        for (int64_t i = 0; i < m; i++) scratch[i] = v[cur_i + i] - cur_base;
+        uint64_t ub = v[pend - 1];
+        indexed_append(seqs, p, scratch.data(), m, scratch[m - 1] + 1, strict_base, scratch2);
+        endpoints.push_back((uint64_t)seqs.size);
+        ubs.push_back(ub);
+        cur_base = ub + 1;
+        cur_i = pend;
+    }
+    uint64_t endpoint_bits = ceil_log2((uint64_t)seqs.size + 1);
+    b.gamma(endpoint_bits);
+    if (!uniform) {
+        // sizes stream: EF of ends[:-1] over universe n
+        scratch.resize(partitions - 1);
+        for (int64_t i = 0; i < partitions - 1; i++) scratch[i] = part_scratch[i];
+        ef_append(b, p, scratch.data(), partitions - 1, (uint64_t)n);
+    }
+    ef_append(b, p, ubs.data(), (int64_t)ubs.size(), universe);
+    for (int64_t i = 0; i + 1 < (int64_t)endpoints.size(); i++)
+        b.append_bits(endpoints[i], (int)endpoint_bits);
+    b.append_builder(seqs);
+}
+
+}  // namespace seqw
+
+extern "C" {
+
+// kind: 0 = single (indexed docs, strict-seq freqs)
+//       1 = uniform, 2 = opt (partitioned containers)
+// freqs passed RAW (positive); prefix sums are taken here.
+// Outputs: caller-allocated word buffers sized via a first pass
+// (d_words == NULL: fill d_ends/f_ends with per-list BIT sizes only).
+int64_t ds2i_seq_write_batch(
+    int kind,
+    const uint64_t* docs, const uint64_t* freqs, const int64_t* voff,
+    int64_t count, uint64_t num_docs, const uint64_t* occs,
+    int ef_s0, int ef_s1, int rb_rank, int rb_sel, int log_part,
+    double eps1, double eps2, uint64_t fix_cost, int nthreads,
+    uint64_t* d_words, int64_t* d_ends,   // exclusive-scan bit offsets in, or sizes out
+    uint64_t* f_words, int64_t* f_ends)
+{
+    using namespace seqw;
+    Params p{ef_s0, ef_s1, rb_rank, rb_sel};
+    bool size_pass = (d_words == nullptr);
+    if (nthreads < 1) nthreads = 1;
+
+    auto work = [&](int64_t lo, int64_t hi) {
+        std::vector<uint64_t> cum, scratch, scratch2;
+        std::vector<uint32_t> parts;
+        Builder db, fb;
+        for (int64_t i = lo; i < hi; i++) {
+            int64_t n = voff[i + 1] - voff[i];
+            const uint64_t* dv = docs + voff[i];
+            uint64_t occ = occs[i];
+            db.w.assign(db.w.size(), 0); db.size = 0;
+            fb.w.assign(fb.w.size(), 0); fb.size = 0;
+
+            // freq_index docs header (freq_index.hpp:68-73)
+            db.gamma_nonzero(occ);
+            if (occ > 1) db.append_bits((uint64_t)n, (int)ceil_log2(occ + 1));
+            // docs sequence over universe num_docs
+            if (kind == 0) {
+                indexed_append(db, p, dv, n, num_docs, false, scratch2);
+            } else {
+                partitioned_append(db, p, dv, n, num_docs, kind == 1, false, log_part,
+                                   eps1, eps2, fix_cost, parts, scratch, scratch2);
+            }
+
+            // freqs: prefix sums, universe occ + 1
+            cum.resize(n);
+            uint64_t c = 0;
+            const uint64_t* fv = freqs + voff[i];
+            for (int64_t j = 0; j < n; j++) { c += fv[j]; cum[j] = c; }
+            if (kind == 0) {
+                indexed_append(fb, p, cum.data(), n, occ + 1, true, scratch2);
+            } else {
+                partitioned_append(fb, p, cum.data(), n, occ + 1, kind == 1, true, log_part,
+                                   eps1, eps2, fix_cost, parts, scratch, scratch2);
+            }
+
+            if (size_pass) {
+                d_ends[i] = db.size;
+                f_ends[i] = fb.size;
+            } else {
+                int64_t nwd = (db.size + 63) / 64;
+                for (int64_t wi = 0; wi < nwd; wi++) {
+                    int width = (int)std::min<int64_t>(64, db.size - 64 * wi);
+                    or_bits(d_words, d_ends[i] + 64 * wi, db.w[wi], width);
+                }
+                int64_t nwf = (fb.size + 63) / 64;
+                for (int64_t wi = 0; wi < nwf; wi++) {
+                    int width = (int)std::min<int64_t>(64, fb.size - 64 * wi);
+                    or_bits(f_words, f_ends[i] + 64 * wi, fb.w[wi], width);
+                }
+            }
+        }
+    };
+    int nt = (int)std::min<int64_t>(nthreads, std::max<int64_t>(count, 1));
+    if (nt == 1 || count < 128) {
+        work(0, count);
+    } else {
+        std::vector<std::thread> ts;
+        int64_t chunk = (count + nt - 1) / nt;
+        for (int t = 0; t < nt; t++) {
+            int64_t lo = t * chunk, hi = std::min<int64_t>(count, lo + chunk);
+            if (lo >= hi) break;
+            ts.emplace_back(work, t == 0 ? 0 : lo, hi);
+        }
+        for (auto& th : ts) th.join();
+    }
+    return 0;
+}
+
+}  // extern "C"

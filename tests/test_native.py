@@ -151,3 +151,70 @@ def test_native_block_writer_bit_identical(name, monkeypatch):
         dc, fc = c.decode_list(i)
         np.testing.assert_array_equal(da, dc)
         np.testing.assert_array_equal(fa, fc)
+
+
+@pytest.mark.parametrize("name", ["single", "uniform", "opt"])
+def test_native_seq_writer_bit_identical(name, monkeypatch):
+    """The native single/uniform/opt builder must reproduce the Python
+    sequence writers bit-for-bit: selector choices (EF / ranked bitvector
+    / all-ones), strict freq streams, partition DP + metadata streams,
+    singleton fast paths, dense lists, and n=1 lists."""
+    from ds2i_tpu.native import available
+
+    if not available():
+        pytest.skip("native library not built")
+    from ds2i_tpu import GlobalParameters
+    from ds2i_tpu.index.types import make_index_type
+
+    rng = np.random.RandomState(7)
+    num_docs = 5000
+    lists = []
+    for i in range(50):
+        kind = i % 5
+        if kind == 0:  # sparse
+            n = int(rng.randint(1, 40))
+            docs = np.sort(rng.choice(num_docs, size=n, replace=False))
+        elif kind == 1:  # dense range (forces RB / all-ones paths)
+            lo = int(rng.randint(0, num_docs - 600))
+            n = int(rng.randint(300, 600))
+            docs = lo + np.sort(rng.choice(600, size=n, replace=False))
+        elif kind == 2:  # long clustered (forces multi-partition opt)
+            n = int(rng.randint(400, 1200))
+            gaps = rng.choice([1, 1, 1, 2, 40], size=n)
+            docs = np.minimum(np.cumsum(gaps) + int(rng.randint(0, 100)), num_docs - 1)
+            docs = np.unique(docs)
+            n = len(docs)
+        elif kind == 3:  # singleton
+            docs = np.array([int(rng.randint(0, num_docs))])
+            n = 1
+        else:  # everything-doc list (all_ones docs candidate)
+            docs = np.arange(num_docs)
+            n = num_docs
+        freqs = rng.randint(1, 4, size=len(docs)).astype(np.uint64)
+        if kind == 4:
+            freqs[:] = 1  # freq prefix sums == positions + 1 (all_ones case)
+        lists.append((docs.astype(np.uint64), freqs))
+
+    cls = make_index_type(name)
+
+    def build(native):
+        monkeypatch.setenv("DS2I_NATIVE", "1" if native else "0")
+        b = cls.builder(num_docs, GlobalParameters())
+        assert bool(b._fast_mode) == native
+        for docs, freqs in lists:
+            b.add_posting_list(len(docs), docs, freqs, int(freqs.sum()))
+        return b.build()
+
+    a = build(True)
+    c = build(False)
+    for coll_a, coll_c in ((a.docs_sequences, c.docs_sequences), (a.freqs_sequences, c.freqs_sequences)):
+        assert coll_a.bits_bv.nbits == coll_c.bits_bv.nbits
+        np.testing.assert_array_equal(
+            np.asarray(coll_a.bits_bv.words), np.asarray(coll_c.bits_bv.words)
+        )
+    # decoded parity too
+    for i in (0, 3, 4, 17, 49):
+        da, fa = a.decode_list(i)
+        dc, fc = c.decode_list(i)
+        np.testing.assert_array_equal(da, dc)
+        np.testing.assert_array_equal(fa, fc)
