@@ -17,6 +17,27 @@ from ..utils import ProgressLogger, logger, stats_line
 from .common import postings_stats, save_index
 
 
+def _partition_stats(type_name, index):
+    """Type-specific stats for the partitioned types: number of partitions
+    and average partition size over the docs sequences
+    (create_freq_index.cpp:22-59 dump_stats specializations)."""
+    from ..sequences.partitioned import _PartitionedBase
+
+    seq = getattr(index, "docs_sequence_type", None)
+    if not (isinstance(seq, type) and issubclass(seq, _PartitionedBase)):
+        return
+    partitions = 0
+    docs = 0
+    for i in range(index.size()):
+        _, n, docs_offset = index._header(i)
+        partitions += seq.num_partitions(
+            index.docs_sequences.bits(), docs_offset, index.num_docs(), n, index.params
+        )
+        docs += n
+    stats_line(type=type_name, partitions=partitions,
+               docs_avg_part=docs / max(partitions, 1))
+
+
 def create_collection(type_name, basename, output=None, check=False, params=None):
     cls = make_index_type(type_name)
     coll = BinaryFreqCollection(basename)
@@ -36,6 +57,7 @@ def create_collection(type_name, basename, output=None, check=False, params=None
     workers = b.pool.workers if hasattr(b, "pool") else 1
     stats_line(type=type_name, worker_threads=workers,
                construction_time=elapsed, **stats)
+    _partition_stats(type_name, index)
 
     if output:
         nbytes = save_index(index, output)
