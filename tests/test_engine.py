@@ -347,3 +347,19 @@ def test_engine_edge_queries(coll):
         assert len(got[i]) == len(exp)
         if exp:
             np.testing.assert_allclose(got[i], exp, rtol=1e-3)
+
+
+def test_make_engine_factory(coll):
+    """make_engine picks ResidentEngine under the stream limit and a
+    DocShardedEngine (matching results) above it."""
+    from ds2i_tpu.engine import make_engine
+    from ds2i_tpu.parallel import DocShardedEngine
+
+    c, index = build(coll, "block_optpfor")
+    wdata = WandData.build(read_sizes(coll), c)
+    queries = read_queries(coll + ".queries")[:10]
+    small = make_engine(index, wdata)
+    assert isinstance(small, ResidentEngine)
+    forced = make_engine(index, wdata, limit=len(index.lists) // 3)
+    assert isinstance(forced, DocShardedEngine)
+    np.testing.assert_array_equal(forced.and_counts(queries), small.and_counts(queries))
