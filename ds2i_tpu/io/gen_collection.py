@@ -79,11 +79,22 @@ def generate_collection(
     # remap: term-ids in the index are positions among non-empty lists
     df_ne = (ends - starts)[nonempty].astype(np.float64)
     p = np.sqrt(df_ne)
-    p /= p.sum()
+    cdf = np.cumsum(p / p.sum())
+    nt = len(nonempty)
+
+    def draw(k):
+        # inverse-cdf sampling without replacement (np.random.choice with
+        # p= revalidates the whole vector per call — O(num_terms), hours
+        # at multi-million vocabularies)
+        picks = []
+        while len(picks) < k:
+            cand = np.minimum(np.searchsorted(cdf, rng.rand(2 * k), side="right"), nt - 1)
+            picks = list(dict.fromkeys([*picks, *cand.tolist()]))[:k]
+        return picks
+
     with open(str(basename) + ".queries", "w") as f:
         for _ in range(num_queries):
             qlen = rng.randint(1, max_query_len + 1)
-            terms_q = rng.choice(len(nonempty), size=qlen, replace=False, p=p)
-            f.write(" ".join(str(int(t)) for t in terms_q) + "\n")
+            f.write(" ".join(str(int(t)) for t in draw(qlen)) + "\n")
 
     return num_docs, int(len(nonempty)), int(len(keys))
