@@ -26,6 +26,49 @@ from ..index.types import make_index_type
 NEG_INF = float("-inf")
 
 
+def shard_collection_by_doc_range(coll, type_name, num_shards, params=None):
+    """Build per-doc-range sub-indexes DIRECTLY from a binary collection —
+    the practical path at scale (resharding a built index decodes every
+    list; building from source splits each list with one searchsorted).
+    Returns (sub_indexes, term_remaps, bounds, global_dfs)."""
+    from ..global_params import GlobalParameters
+
+    if type_name == "block_mixed":
+        type_name = "block_optpfor"  # mixed only builds by transformation
+    cls = make_index_type(type_name)
+    params = params or GlobalParameters()
+    N = coll.num_docs
+    bounds = np.array([round(N * s / num_shards) for s in range(num_shards + 1)], dtype=np.int64)
+
+    builders = [cls.builder(N, params) for _ in range(num_shards)]
+    remaps = []
+    sizes = [0] * num_shards
+    global_dfs = []
+    for docs, freqs in coll:
+        docs = np.asarray(docs, dtype=np.int64)
+        freqs = np.asarray(freqs, dtype=np.int64)
+        global_dfs.append(len(docs))
+        cuts = np.searchsorted(docs, bounds)
+        row = np.full(num_shards, -1, dtype=np.int64)
+        for s in range(num_shards):
+            lo, hi = int(cuts[s]), int(cuts[s + 1])
+            if hi <= lo:
+                continue
+            builders[s].add_posting_list(
+                hi - lo, docs[lo:hi], freqs[lo:hi], int(freqs[lo:hi].sum())
+            )
+            row[s] = sizes[s]
+            sizes[s] += 1
+        remaps.append(row)
+    remaps = np.array(remaps, dtype=np.int64).T if remaps else np.zeros((num_shards, 0), np.int64)
+    return (
+        [b.build() for b in builders],
+        [remaps[s] for s in range(num_shards)],
+        bounds,
+        np.asarray(global_dfs, dtype=np.int64),
+    )
+
+
 def shard_index_by_doc_range(index, num_shards):
     """Split a built index into per-doc-range sub-indexes.
 
@@ -78,8 +121,24 @@ class DocShardedEngine:
 
     def __init__(self, index, wdata=None, num_shards=2, devices=None, **engine_kw):
         subs, remaps, bounds, gdfs = shard_index_by_doc_range(index, num_shards)
+        self._init_engines(subs, remaps, bounds, gdfs, wdata, devices, engine_kw)
+
+    @classmethod
+    def from_collection(cls, coll, type_name, wdata=None, num_shards=2,
+                        devices=None, params=None, **engine_kw):
+        """Build the shards directly from a binary collection (one native
+        batch build per shard) — the scale path; __init__'s reshard of a
+        built index decodes every list in Python."""
+        self = cls.__new__(cls)
+        subs, remaps, bounds, gdfs = shard_collection_by_doc_range(
+            coll, type_name, num_shards, params
+        )
+        self._init_engines(subs, remaps, bounds, gdfs, wdata, devices, engine_kw)
+        return self
+
+    def _init_engines(self, subs, remaps, bounds, gdfs, wdata, devices, engine_kw):
         self.bounds = bounds
-        self.num_shards = num_shards
+        self.num_shards = len(subs)
         self.engines = []
         for s, (sub, remap) in enumerate(zip(subs, remaps)):
             dev = [devices[s % len(devices)]] if devices else None

@@ -363,3 +363,20 @@ def test_make_engine_factory(coll):
     forced = make_engine(index, wdata, limit=len(index.lists) // 3)
     assert isinstance(forced, DocShardedEngine)
     np.testing.assert_array_equal(forced.and_counts(queries), small.and_counts(queries))
+
+
+def test_doc_sharded_from_collection(coll):
+    """Building shards directly from the collection (the scale path) must
+    agree with resharding a built index."""
+    from ds2i_tpu.parallel import DocShardedEngine
+
+    c, index = build(coll, "block_optpfor")
+    wdata = WandData.build(read_sizes(coll), c)
+    queries = read_queries(coll + ".queries")[:12]
+    a = DocShardedEngine(index, wdata, num_shards=3)
+    b = DocShardedEngine.from_collection(c, "block_optpfor", wdata, num_shards=3)
+    np.testing.assert_array_equal(a.and_counts(queries), b.and_counts(queries))
+    ra = a.ranked_and(queries, k=10)
+    rb = b.ranked_and(queries, k=10)
+    for x, y in zip(ra, rb):
+        np.testing.assert_allclose(x, y, rtol=1e-6)
