@@ -22,5 +22,8 @@ def make_engine(index, wdata=None, devices=None, limit=None, **kw):
         return ResidentEngine(index, wdata, devices=devices, **kw)
     from ..parallel import DocShardedEngine
 
-    shards = max(-(-nbytes // limit), len(devices) if devices else 1)
+    # doc ranges split bytes unevenly on skewed collections; the 0.6
+    # headroom factor absorbs skew (ResidentEngine still asserts the hard
+    # per-shard stream limit loudly if a pathological split exceeds it)
+    shards = max(-(-nbytes // int(limit * 0.6)), len(devices) if devices else 1)
     return DocShardedEngine(index, wdata, num_shards=int(shards), devices=devices, **kw)

@@ -836,13 +836,14 @@ class ResidentEngine:
                 tile_gblk0=tg0,
             )
             pending.append((p, out))
-        for _, out in pending:
-            # start device->host transfers as soon as each part's compute
-            # finishes, overlapping with later parts' compute
-            try:
-                out.copy_to_host_async()
-            except AttributeError:
-                break
+        if not _os.environ.get("DS2I_ENGINE_NOFETCH"):  # keep compute-only timing clean
+            for _, out in pending:
+                # start device->host transfers as soon as each part's compute
+                # finishes, overlapping with later parts' compute
+                try:
+                    out.copy_to_host_async()
+                except AttributeError:
+                    break
         if debug:
             print(f"[resident] dispatch={(_time.time()-t0)*1e3:.0f}ms", flush=True)
         return pending

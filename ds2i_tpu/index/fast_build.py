@@ -88,15 +88,18 @@ def build_seq_collections(kind_name, docs_lists, freqs_lists, occs, num_docs, pa
     if num_docs >= 2**32 or (count and int(occs.max()) + 1 >= 2**32):
         return None
 
-    # validation (mirrors the Python writers' checks)
+    # validation: these types select ranked-bitvector encodings, which
+    # reject duplicate docids (CompactRankedBitvector.write) — require
+    # strictly increasing docs here, deferring weakly-monotone input to
+    # the Python writers so error behavior matches them exactly
     if np.any(docs_v >= _U64(num_docs)):
         raise ValueError("Value out of universe bounds")
     if len(docs_v):
         gaps_ok = np.ones(len(docs_v), dtype=bool)
-        gaps_ok[1:] = np.diff(docs_v.astype(np.int64)) >= 0
+        gaps_ok[1:] = np.diff(docs_v.astype(np.int64)) > 0
         gaps_ok[voff[:-1][ns > 0]] = True
         if not np.all(gaps_ok):
-            raise ValueError("Sequence is not sorted")
+            return None  # Python path raises (or accepts) per sequence type
     if np.any(freqs_v <= 0):
         raise ValueError("positive_sequence requires positive values")
 

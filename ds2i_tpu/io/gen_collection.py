@@ -86,6 +86,7 @@ def generate_collection(
         # inverse-cdf sampling without replacement (np.random.choice with
         # p= revalidates the whole vector per call — O(num_terms), hours
         # at multi-million vocabularies)
+        k = min(k, nt)  # can't draw more distinct terms than exist
         picks = []
         while len(picks) < k:
             cand = np.minimum(np.searchsorted(cdf, rng.rand(2 * k), side="right"), nt - 1)

@@ -216,9 +216,13 @@ def seq_write_batch_native(kind_name, docs, freqs, voff, num_docs, occs, params,
             ctypes.POINTER(ctypes.c_uint64),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_double, ctypes.c_uint64, ctypes.c_int,
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64)), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64)), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.ds2i_buffer_free.restype = None
+        lib.ds2i_buffer_free.argtypes = [ctypes.c_void_p]
         lib._seq_batch_ready = True
     if workers is None:
         workers = os.cpu_count() or 1
@@ -244,19 +248,29 @@ def seq_write_batch_native(kind_name, docs, freqs, voff, num_docs, occs, params,
     )
     de = d_ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
     fe = f_ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
-    lib.ds2i_seq_write_batch(*args_head, None, de, None, fe)  # size pass
-    d_sizes, f_sizes = d_ends.copy(), f_ends.copy()
-    d_off = np.zeros(count + 1, dtype=np.int64)
-    np.cumsum(d_sizes[:count], out=d_off[1:])
-    f_off = np.zeros(count + 1, dtype=np.int64)
-    np.cumsum(f_sizes[:count], out=f_off[1:])
-    d_ends[:count] = d_off[:-1]
-    f_ends[:count] = f_off[:-1]
-    d_words = np.zeros(int(d_off[-1] + 63) // 64 + 1, dtype=np.uint64)
-    f_words = np.zeros(int(f_off[-1] + 63) // 64 + 1, dtype=np.uint64)
-    lib.ds2i_seq_write_batch(
+    dwp = ctypes.POINTER(ctypes.c_uint64)()
+    fwp = ctypes.POINTER(ctypes.c_uint64)()
+    d_bits = ctypes.c_int64()
+    f_bits = ctypes.c_int64()
+    rc = lib.ds2i_seq_write_batch(
         *args_head,
-        d_words.ctypes.data_as(ctypes.c_void_p), de,
-        f_words.ctypes.data_as(ctypes.c_void_p), fe,
+        ctypes.byref(dwp), ctypes.byref(d_bits), de,
+        ctypes.byref(fwp), ctypes.byref(f_bits), fe,
     )
-    return d_words, int(d_off[-1]), d_off, f_words, int(f_off[-1]), f_off
+    if rc != 0:
+        return None
+    try:
+        nwd = (int(d_bits.value) + 63) // 64 + 1
+        nwf = (int(f_bits.value) + 63) // 64 + 1
+        d_words = np.ctypeslib.as_array(dwp, shape=(nwd,)).copy()
+        f_words = np.ctypeslib.as_array(fwp, shape=(nwf,)).copy()
+    finally:
+        lib.ds2i_buffer_free(dwp)
+        lib.ds2i_buffer_free(fwp)
+    d_off = np.zeros(count + 1, dtype=np.int64)
+    d_off[:count] = d_ends[:count]
+    d_off[count] = int(d_bits.value)
+    f_off = np.zeros(count + 1, dtype=np.int64)
+    f_off[:count] = f_ends[:count]
+    f_off[count] = int(f_bits.value)
+    return d_words, int(d_bits.value), d_off, f_words, int(f_bits.value), f_off

@@ -1008,6 +1008,9 @@ constexpr uint64_t INF = uint64_t(1) << 62;
 
 struct Params {
     int ef_s0, ef_s1, rb_rank, rb_sel;
+    EFParams ef() const {
+        return EFParams{(uint64_t)ef_s0, (uint64_t)ef_s1, (uint64_t)rb_rank, (uint64_t)rb_sel};
+    }
 };
 
 struct Builder {
@@ -1060,16 +1063,15 @@ struct Builder {
     }
 };
 
+// bit sizes come from the partition DP's shared formulas (EFParams
+// versions near the top of this file) so the cost model and the writer
+// can never disagree
 inline uint64_t ef_bitsize(const Params& p, uint64_t universe, uint64_t n) {
-    uint64_t l = universe > n ? msb(universe / n) : 0;
-    uint64_t hb = n + (universe >> l) + 2;
-    uint64_t ps = ceil_log2(hb);
-    return (((hb - n) >> p.ef_s0) + (n >> p.ef_s1)) * ps + hb + n * l;
+    return ::ef_bitsize(p.ef(), universe, n);
 }
 
 inline uint64_t rb_bitsize(const Params& p, uint64_t universe, uint64_t n) {
-    return (universe >> p.rb_rank) * ceil_log2(n + 1) +
-           (n >> p.rb_sel) * ceil_log2(universe) + universe;
+    return ::rb_bitsize(p.ef(), universe, n);
 }
 
 // compact EF append at the builder's end (ef_write_one writes by OR)
@@ -1111,16 +1113,6 @@ inline void rb_append(Builder& b, const Params& p, const uint64_t* v, int64_t n,
 
 // selectors.py IndexedSequence/StrictSequence: choice + 1 type bit
 // (all_ones implicit). strict: EF over u-n+1 of v-i, sampling disabled.
-inline uint64_t indexed_bitsize2(const Params& p, uint64_t u, uint64_t n, bool strict) {
-    Params sp = strict ? Params{63, p.ef_s1, 63, p.rb_sel} : p;
-    uint64_t best = (u == n) ? 0 : INF;
-    uint64_t ef = (strict ? ef_bitsize(sp, u - n + 1, n) : ef_bitsize(sp, u, n)) + 1;
-    if (ef < best) best = ef;
-    uint64_t rb = rb_bitsize(sp, u, n) + 1;
-    if (rb < best) best = rb;
-    return best;
-}
-
 inline void indexed_append(Builder& b, const Params& p, const uint64_t* v, int64_t n,
                            uint64_t u, bool strict, std::vector<uint64_t>& scratch) {
     Params sp = strict ? Params{63, p.ef_s1, 63, p.rb_sel} : p;
@@ -1228,32 +1220,41 @@ extern "C" {
 // kind: 0 = single (indexed docs, strict-seq freqs)
 //       1 = uniform, 2 = opt (partitioned containers)
 // freqs passed RAW (positive); prefix sums are taken here.
-// Outputs: caller-allocated word buffers sized via a first pass
-// (d_words == NULL: fill d_ends/f_ends with per-list BIT sizes only).
+// SINGLE pass: each thread encodes its list range into one contiguous
+// bit buffer (so the partition DP runs exactly once per list), then the
+// thread buffers are bit-blitted into malloc'd outputs. d_ends/f_ends
+// receive per-list exclusive-scan BIT offsets; *d_words/*f_words the
+// malloc'd word buffers (free with ds2i_buffer_free); returns total
+// docs-stream bits via *d_bits and freq bits via *f_bits.
 int64_t ds2i_seq_write_batch(
     int kind,
     const uint64_t* docs, const uint64_t* freqs, const int64_t* voff,
     int64_t count, uint64_t num_docs, const uint64_t* occs,
     int ef_s0, int ef_s1, int rb_rank, int rb_sel, int log_part,
     double eps1, double eps2, uint64_t fix_cost, int nthreads,
-    uint64_t* d_words, int64_t* d_ends,   // exclusive-scan bit offsets in, or sizes out
-    uint64_t* f_words, int64_t* f_ends)
+    uint64_t** d_words, int64_t* d_bits, int64_t* d_ends,
+    uint64_t** f_words, int64_t* f_bits, int64_t* f_ends)
 {
     using namespace seqw;
     Params p{ef_s0, ef_s1, rb_rank, rb_sel};
-    bool size_pass = (d_words == nullptr);
     if (nthreads < 1) nthreads = 1;
+    int nt = (int)std::min<int64_t>(nthreads, std::max<int64_t>(count, 1));
+    if (count < 128) nt = 1;
 
-    auto work = [&](int64_t lo, int64_t hi) {
+    std::vector<Builder> dbufs(nt), fbufs(nt);
+    int64_t chunk = (count + nt - 1) / nt;
+
+    auto work = [&](int t) {
+        int64_t lo = t * chunk, hi = std::min<int64_t>(count, lo + chunk);
         std::vector<uint64_t> cum, scratch, scratch2;
         std::vector<uint32_t> parts;
-        Builder db, fb;
+        Builder& db = dbufs[t];
+        Builder& fb = fbufs[t];
         for (int64_t i = lo; i < hi; i++) {
             int64_t n = voff[i + 1] - voff[i];
             const uint64_t* dv = docs + voff[i];
             uint64_t occ = occs[i];
-            db.w.assign(db.w.size(), 0); db.size = 0;
-            fb.w.assign(fb.w.size(), 0); fb.size = 0;
+            int64_t d0 = db.size, f0 = fb.size;
 
             // freq_index docs header (freq_index.hpp:68-73)
             db.gamma_nonzero(occ);
@@ -1277,37 +1278,45 @@ int64_t ds2i_seq_write_batch(
                 partitioned_append(fb, p, cum.data(), n, occ + 1, kind == 1, true, log_part,
                                    eps1, eps2, fix_cost, parts, scratch, scratch2);
             }
-
-            if (size_pass) {
-                d_ends[i] = db.size;
-                f_ends[i] = fb.size;
-            } else {
-                int64_t nwd = (db.size + 63) / 64;
-                for (int64_t wi = 0; wi < nwd; wi++) {
-                    int width = (int)std::min<int64_t>(64, db.size - 64 * wi);
-                    or_bits(d_words, d_ends[i] + 64 * wi, db.w[wi], width);
-                }
-                int64_t nwf = (fb.size + 63) / 64;
-                for (int64_t wi = 0; wi < nwf; wi++) {
-                    int width = (int)std::min<int64_t>(64, fb.size - 64 * wi);
-                    or_bits(f_words, f_ends[i] + 64 * wi, fb.w[wi], width);
-                }
-            }
+            d_ends[i] = db.size - d0;  // per-list bit sizes for now
+            f_ends[i] = fb.size - f0;
         }
     };
-    int nt = (int)std::min<int64_t>(nthreads, std::max<int64_t>(count, 1));
-    if (nt == 1 || count < 128) {
-        work(0, count);
+    if (nt == 1) {
+        work(0);
     } else {
         std::vector<std::thread> ts;
-        int64_t chunk = (count + nt - 1) / nt;
-        for (int t = 0; t < nt; t++) {
-            int64_t lo = t * chunk, hi = std::min<int64_t>(count, lo + chunk);
-            if (lo >= hi) break;
-            ts.emplace_back(work, t == 0 ? 0 : lo, hi);
-        }
+        for (int t = 0; t < nt; t++) ts.emplace_back(work, t);
         for (auto& th : ts) th.join();
     }
+
+    // exclusive scan of per-list sizes -> global bit offsets
+    int64_t dtot = 0, ftot = 0;
+    for (int64_t i = 0; i < count; i++) {
+        int64_t ds = d_ends[i], fs = f_ends[i];
+        d_ends[i] = dtot; f_ends[i] = ftot;
+        dtot += ds; ftot += fs;
+    }
+    *d_bits = dtot; *f_bits = ftot;
+    uint64_t* dw = (uint64_t*)calloc((size_t)(dtot + 63) / 64 + 1, 8);
+    uint64_t* fw = (uint64_t*)calloc((size_t)(ftot + 63) / 64 + 1, 8);
+    if (!dw || !fw) { free(dw); free(fw); return -1; }
+    int64_t dpos = 0, fpos = 0;
+    for (int t = 0; t < nt; t++) {
+        const Builder& db = dbufs[t];
+        for (int64_t wi = 0; wi * 64 < db.size; wi++) {
+            int width = (int)std::min<int64_t>(64, db.size - 64 * wi);
+            or_bits(dw, dpos + 64 * wi, db.w[wi], width);
+        }
+        dpos += db.size;
+        const Builder& fb = fbufs[t];
+        for (int64_t wi = 0; wi * 64 < fb.size; wi++) {
+            int width = (int)std::min<int64_t>(64, fb.size - 64 * wi);
+            or_bits(fw, fpos + 64 * wi, fb.w[wi], width);
+        }
+        fpos += fb.size;
+    }
+    *d_words = dw; *f_words = fw;
     return 0;
 }
 

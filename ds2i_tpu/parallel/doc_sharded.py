@@ -26,25 +26,25 @@ from ..index.types import make_index_type
 NEG_INF = float("-inf")
 
 
-def shard_collection_by_doc_range(coll, type_name, num_shards, params=None):
-    """Build per-doc-range sub-indexes DIRECTLY from a binary collection —
-    the practical path at scale (resharding a built index decodes every
-    list; building from source splits each list with one searchsorted).
-    Returns (sub_indexes, term_remaps, bounds, global_dfs)."""
-    from ..global_params import GlobalParameters
-
+def _shard_lists(lists_iter, type_name, num_docs, num_shards, params):
+    """Shared doc-range split: feeds each (docs, freqs) list's per-range
+    slices to one builder per shard. Returns
+    (sub_indexes, term_remaps, bounds, global_dfs)."""
     if type_name == "block_mixed":
-        type_name = "block_optpfor"  # mixed only builds by transformation
+        # mixed indexes only build by transformation (the WSDM'15 per-block
+        # assignment optimizes the UNSHARDED index); shards re-encode as
+        # block_optpfor -- same results, re-run the hybrid pipeline per
+        # shard to re-optimize space/time if desired
+        type_name = "block_optpfor"
     cls = make_index_type(type_name)
-    params = params or GlobalParameters()
-    N = coll.num_docs
+    N = num_docs
     bounds = np.array([round(N * s / num_shards) for s in range(num_shards + 1)], dtype=np.int64)
 
     builders = [cls.builder(N, params) for _ in range(num_shards)]
     remaps = []
     sizes = [0] * num_shards
     global_dfs = []
-    for docs, freqs in coll:
+    for docs, freqs in lists_iter:
         docs = np.asarray(docs, dtype=np.int64)
         freqs = np.asarray(freqs, dtype=np.int64)
         global_dfs.append(len(docs))
@@ -69,46 +69,28 @@ def shard_collection_by_doc_range(coll, type_name, num_shards, params=None):
     )
 
 
+def shard_collection_by_doc_range(coll, type_name, num_shards, params=None):
+    """Build per-doc-range sub-indexes DIRECTLY from a binary collection --
+    the practical path at scale (resharding a built index decodes every
+    list; building from source splits each list with one searchsorted)."""
+    from ..global_params import GlobalParameters
+
+    return _shard_lists(
+        iter(coll), type_name, coll.num_docs, num_shards, params or GlobalParameters()
+    )
+
+
 def shard_index_by_doc_range(index, num_shards):
     """Split a built index into per-doc-range sub-indexes.
 
     Returns (sub_indexes, term_remaps, bounds, global_dfs): sub-index i
     holds docs in [bounds[i], bounds[i+1]) with GLOBAL docids and global
     num_docs; term_remaps[i][t] is t's list id in shard i or -1."""
-    N = index.num_docs()
-    L = index.size()
-    type_name = index.index_type_name
-    if type_name == "block_mixed":
-        # mixed indexes only build by transformation (the WSDM'15 per-block
-        # assignment optimizes the UNSHARDED index); shards re-encode as
-        # block_optpfor — same results, re-run the hybrid pipeline per
-        # shard to re-optimize space/time if desired
-        type_name = "block_optpfor"
-    cls = make_index_type(type_name)
-    bounds = np.array([round(N * s / num_shards) for s in range(num_shards + 1)], dtype=np.int64)
+    lists = (index.decode_list(l) for l in range(index.size()))
+    return _shard_lists(
+        lists, index.index_type_name, index.num_docs(), num_shards, index.params
+    )
 
-    builders = [cls.builder(N, index.params) for _ in range(num_shards)]
-    remaps = [np.full(L, -1, dtype=np.int64) for _ in range(num_shards)]
-    sizes = [0] * num_shards
-    global_dfs = np.zeros(L, dtype=np.int64)
-
-    for l in range(L):
-        docs, freqs = index.decode_list(l)
-        docs = np.asarray(docs, dtype=np.int64)
-        freqs = np.asarray(freqs, dtype=np.int64)
-        global_dfs[l] = len(docs)
-        cuts = np.searchsorted(docs, bounds)
-        for s in range(num_shards):
-            lo, hi = int(cuts[s]), int(cuts[s + 1])
-            if hi <= lo:
-                continue
-            builders[s].add_posting_list(
-                hi - lo, docs[lo:hi], freqs[lo:hi], int(freqs[lo:hi].sum())
-            )
-            remaps[s][l] = sizes[s]
-            sizes[s] += 1
-
-    return [b.build() for b in builders], remaps, bounds, global_dfs
 
 
 class DocShardedEngine:

@@ -43,10 +43,27 @@ def test_ordered_commit_across_thread_counts():
 
 
 def test_batching_bounds_inflight():
-    """Large expected_work flushes batches early; tiny work coalesces."""
+    """Batches flush when accumulated expected_work crosses the
+    threshold (not only at complete()), and in-flight batches stay
+    bounded by the worker count."""
     pool = OrderedBuildPool(workers=2, work_per_batch=10)
+    flushes = []
+    orig = pool._flush_batch
+
+    def spy():
+        flushes.append(len(pool._batch))
+        orig()
+
+    pool._flush_batch = spy
     seen = []
+    max_pending = 0
     for i in range(20):
         pool.add_job(lambda i=i: i, lambda r: seen.append(r), expected_work=6)
+        max_pending = max(max_pending, len(pool._pending))
+    mid_flushes = len([f for f in flushes if f])
     pool.complete()
     assert seen == list(range(20))
+    # work 6+6 >= 10 flushes every 2 jobs: 10 mid-stream flushes of 2 jobs
+    assert mid_flushes == 10 and all(f == 2 for f in flushes if f)
+    # FIFO bound: never more than workers batches in flight during adds
+    assert max_pending <= pool.workers
