@@ -62,9 +62,12 @@ def test_ranked_and_subset_of_ranked_or(setup):
         ra = ranked_and_query(index, wdata, terms, k=10)
         ro = ranked_or_query(index, wdata, terms, k=10)
         assert len(ra) <= len(ro)
-        # every AND score must appear among OR scores (docs scored identically)
+        # every AND-matched doc appears in the FULL OR ranking with an
+        # identical score (top-10 OR alone can omit an AND doc: ten
+        # partial matches may legitimately outrank it)
+        ro_full = ranked_or_query(index, wdata, terms, k=index.num_docs())
         for s in ra:
-            assert any(abs(s - o) <= 1e-6 * max(1.0, abs(o)) for o in ro)
+            assert any(abs(s - o) <= 1e-6 * max(1.0, abs(o)) for o in ro_full)
 
 
 @pytest.mark.parametrize("pruned", [wand_query, maxscore_query])
