@@ -54,6 +54,7 @@ NUM_TERMS = int(os.environ.get("DS2I_BENCH_TERMS", 110_000))
 NUM_QUERIES = int(os.environ.get("DS2I_BENCH_QUERIES", 35_000))
 INDEX_TYPE = os.environ.get("DS2I_BENCH_INDEX", "block_optpfor")
 # "and": top-10 BM25 ranked_and (the reference's headline op);
+# "or": top-10 BM25 ranked_or (exhaustive DAAT union);
 # "counts": boolean and+or counts (BASELINE config 1)
 BENCH_OP = os.environ.get("DS2I_BENCH_OP", "and")
 
@@ -112,7 +113,7 @@ def main():
 
     # parse + lay out the batch (reference: queries parsed before op_perftest)
     t0 = time.time()
-    ops = ("counts",) if BENCH_OP == "counts" else ("and",)
+    ops = {"counts": ("counts",), "or": ("or",)}.get(BENCH_OP, ("and",))
     plan = engine.prepare(queries, k=10, ops=ops, ranked=BENCH_OP != "counts")
     log(f"batch layout: {time.time()-t0:.1f}s, {len(plan['plans'])} parts")
 
@@ -132,7 +133,7 @@ def main():
 
     mean_us = float(np.median(times) / len(queries) * 1e6)
     print(json.dumps({
-        "metric": f"median {'boolean and+or counts' if BENCH_OP == 'counts' else 'ranked_and'} query time, {INDEX_TYPE} index, "
+        "metric": f"median {'boolean and+or counts' if BENCH_OP == 'counts' else 'ranked_' + BENCH_OP} query time, {INDEX_TYPE} index, "
                   f"{NUM_DOCS}-doc collection, {NUM_QUERIES}-query log, batched TPU engine",
         "value": round(mean_us, 3),
         "unit": "us/query",
