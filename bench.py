@@ -57,6 +57,8 @@ INDEX_TYPE = os.environ.get("DS2I_BENCH_INDEX", "block_optpfor")
 # "or": top-10 BM25 ranked_or (exhaustive DAAT union);
 # "counts": boolean and+or counts (BASELINE config 1)
 BENCH_OP = os.environ.get("DS2I_BENCH_OP", "and")
+if BENCH_OP not in ("and", "or", "counts"):
+    raise SystemExit(f"DS2I_BENCH_OP must be and|or|counts, got {BENCH_OP!r}")
 
 
 def log(msg):

@@ -23,7 +23,7 @@ def make_engine(index, wdata=None, devices=None, limit=None, **kw):
     from ..parallel import DocShardedEngine
 
     # doc ranges split bytes unevenly on skewed collections; the 0.6
-    # headroom factor absorbs skew (ResidentEngine still asserts the hard
-    # per-shard stream limit loudly if a pathological split exceeds it)
-    shards = max(-(-nbytes // int(limit * 0.6)), len(devices) if devices else 1)
+    # headroom factor absorbs skew (ResidentEngine raises loudly on any
+    # per-shard stream that still exceeds the hard limit, both families)
+    shards = max(-(-nbytes // max(int(limit * 0.6), 1)), len(devices) if devices else 1)
     return DocShardedEngine(index, wdata, num_shards=int(shards), devices=devices, **kw)

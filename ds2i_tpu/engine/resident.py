@@ -451,6 +451,13 @@ class ResidentEngine:
         self.tile_gid = inv.astype(np.int64)
         self._empty_statics = ("ef", 4, 4, TILE)
         self.split = False
+        for coll_bv in (index.docs_sequences.bits_bv, index.freqs_sequences.bits_bv):
+            if coll_bv.nbits >= 2**31:
+                raise ValueError(
+                    "device engine limit: 256MB per resident stream (i32 bit "
+                    "cursors); shard larger indexes by doc range across "
+                    "devices with parallel.DocShardedEngine"
+                )
         self.docs_words = jnp.asarray(index.docs_sequences.bits_bv.words.view(np.uint32))
         self.freqs_words = jnp.asarray(index.freqs_sequences.bits_bv.words.view(np.uint32))
         return t

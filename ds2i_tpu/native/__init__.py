@@ -119,7 +119,7 @@ def block_write_batch_native(docs, freqs, offs, codec_name, workers=None):
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.ds2i_buffer_free.restype = None
-        lib.ds2i_buffer_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        lib.ds2i_buffer_free.argtypes = [ctypes.c_void_p]  # shared with seq writer
         lib._block_batch_ready = True
     if workers is None:
         workers = os.cpu_count() or 1
@@ -197,19 +197,23 @@ SEQ_KINDS = {"single": 0, "uniform": 1, "opt": 2}
 
 def seq_write_batch_native(kind_name, docs, freqs, voff, num_docs, occs, params, workers=None):
     """Batched construction for the single/uniform/opt index types
-    (ds2i_seq_write_batch): per-list docs (header + selector/partitioned
-    sequence) and freqs (positive strict sequence) bit streams. Two-pass:
-    sizes, then parallel OR-blit at exclusive-scan offsets. Returns
-    (d_words u64, d_bits, d_ends, f_words, f_bits, f_ends) or None."""
+    (ds2i_seq_write_batch_v2): per-list docs (header + selector/
+    partitioned sequence) and freqs (positive strict sequence) bit
+    streams, encoded by C++ worker threads in ONE pass into malloc'd
+    buffers this wrapper copies out and frees. Returns
+    (d_words u64, d_bits, d_off[count+1], f_words, f_bits, f_off) or
+    None when the library/symbol is unavailable."""
     from ..config import Configuration
 
     lib = _load()
     kind = SEQ_KINDS.get(kind_name)
-    if lib is None or kind is None or not hasattr(lib, "ds2i_seq_write_batch"):
+    # versioned symbol: the v2 single-pass ABI is incompatible with the
+    # original two-pass export, so a stale .so cleanly falls back
+    if lib is None or kind is None or not hasattr(lib, "ds2i_seq_write_batch_v2"):
         return None
     if not hasattr(lib, "_seq_batch_ready"):
-        lib.ds2i_seq_write_batch.restype = ctypes.c_int64
-        lib.ds2i_seq_write_batch.argtypes = [
+        lib.ds2i_seq_write_batch_v2.restype = ctypes.c_int64
+        lib.ds2i_seq_write_batch_v2.argtypes = [
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_uint64,
@@ -252,7 +256,7 @@ def seq_write_batch_native(kind_name, docs, freqs, voff, num_docs, occs, params,
     fwp = ctypes.POINTER(ctypes.c_uint64)()
     d_bits = ctypes.c_int64()
     f_bits = ctypes.c_int64()
-    rc = lib.ds2i_seq_write_batch(
+    rc = lib.ds2i_seq_write_batch_v2(
         *args_head,
         ctypes.byref(dwp), ctypes.byref(d_bits), de,
         ctypes.byref(fwp), ctypes.byref(f_bits), fe,

@@ -1226,7 +1226,7 @@ extern "C" {
 // receive per-list exclusive-scan BIT offsets; *d_words/*f_words the
 // malloc'd word buffers (free with ds2i_buffer_free); returns total
 // docs-stream bits via *d_bits and freq bits via *f_bits.
-int64_t ds2i_seq_write_batch(
+int64_t ds2i_seq_write_batch_v2(
     int kind,
     const uint64_t* docs, const uint64_t* freqs, const int64_t* voff,
     int64_t count, uint64_t num_docs, const uint64_t* occs,
@@ -1303,18 +1303,20 @@ int64_t ds2i_seq_write_batch(
     if (!dw || !fw) { free(dw); free(fw); return -1; }
     int64_t dpos = 0, fpos = 0;
     for (int t = 0; t < nt; t++) {
-        const Builder& db = dbufs[t];
+        Builder& db = dbufs[t];
         for (int64_t wi = 0; wi * 64 < db.size; wi++) {
             int width = (int)std::min<int64_t>(64, db.size - 64 * wi);
             or_bits(dw, dpos + 64 * wi, db.w[wi], width);
         }
         dpos += db.size;
-        const Builder& fb = fbufs[t];
+        std::vector<uint64_t>().swap(db.w);  // cap peak memory during blit
+        Builder& fb = fbufs[t];
         for (int64_t wi = 0; wi * 64 < fb.size; wi++) {
             int width = (int)std::min<int64_t>(64, fb.size - 64 * wi);
             or_bits(fw, fpos + 64 * wi, fb.w[wi], width);
         }
         fpos += fb.size;
+        std::vector<uint64_t>().swap(fb.w);
     }
     *d_words = dw; *f_words = fw;
     return 0;

@@ -169,7 +169,9 @@ def test_native_seq_writer_bit_identical(name, monkeypatch):
     rng = np.random.RandomState(7)
     num_docs = 5000
     lists = []
-    for i in range(50):
+    # >= 128 lists so the native writer's MULTI-THREADED path (per-thread
+    # builders + cross-thread bit-blit at unaligned offsets) is exercised
+    for i in range(200):
         kind = i % 5
         if kind == 0:  # sparse
             n = int(rng.randint(1, 40))
