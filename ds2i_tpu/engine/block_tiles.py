@@ -30,7 +30,7 @@ import numpy as np
 from ..codecs.interpolative import UNKNOWN_SUM, InterpolativeBlock
 from ..codecs.mixed import INTERPOLATIVE, MixedBlock, PFOR, VARINT
 from ..codecs.optpfor import OptPForBlock
-from ..codecs.qmx import _PER_WORD, QMXBlock
+from ..codecs.qmx import ADV_OF_TYPE, QMXBlock
 from ..codecs.simple16 import S16_MODES
 from ..codecs.varint import VarintG8IUBlock
 from ..codecs.vbyte import TightVariableByte
@@ -55,8 +55,8 @@ _E_BUCKETS = (0, 4, 8, 16, 32, 64, 128)
 _NC_BUCKETS = (8, 16, 32, 64, 128)
 _WIN_BUCKETS = (4, 16, 64, 180)
 _G_BUCKETS = (24, 40, 64)
-_NW_BUCKETS = (8, 32, 128)
-_S_BUCKETS = (8, 16, 32)
+_NW_BUCKETS = (8, 16, 32)  # QMX instances per block (max 32)
+_S_BUCKETS = (8, 16, 32)   # QMX selectors per block (max 32)
 
 
 def _bucket(v, table):
@@ -122,22 +122,27 @@ def _var_stream(data, pos, cur, row):
 
 
 def _qmx_stream(data, pos, cur, row):
-    """Fill QMX fields; returns (end byte, nwords, nsel)."""
+    """Fill QMX fields (reference format: vbyte(enc_len), payload,
+    selectors reversed at the end); returns (end byte, ninst, nsel).
+    Replays the decoder's selector walk (qmx_codec.hpp: while in<=keys)."""
     vals, q = TightVariableByte.decode(data, pos, 1)
-    plen = int(vals[0])
-    nw = plen // 16
-    sel0 = q + plen
-    covered = ns = 0
-    while covered < nw:
-        covered += int(data[sel0 + ns]) & 15
+    elen = int(vals[0])
+    in_off, keys_off = q, q + elen - 1
+    ns = ninst = 0
+    while in_off <= keys_off:
+        sel = int(data[keys_off])
+        keys_off -= 1
         ns += 1
+        batch = 16 - (sel & 0x0F)
+        ninst += batch
+        in_off += batch * ADV_OF_TYPE[sel >> 4]
     row[F_KIND] = KIND_QMX
     row[BF_BIT0] = q * 8
-    row[BF_B] = nw
+    row[BF_B] = ninst
     row[BF_NEX] = ns
-    row[BF_EX0] = sel0
+    row[BF_EX0] = q + elen - 1  # LAST selector byte (first in walk order)
     row[F_NVALS] = cur
-    return sel0 + ns, nw, ns
+    return q + elen, ninst, ns
 
 
 def _full_stream(data, pos, cur, known_sum, codec, row):

@@ -82,7 +82,7 @@ def _decode_block_stream(words, fld, st, R, is_docs, num_docs):
     elif sk == "qmx":
         raw = qmx_decode(
             words, fld[:, BF_BIT0], fld[:, BF_B], fld[:, BF_EX0],
-            fld[:, BF_NEX], NW=st[1], S=st[2], T=T,
+            fld[:, BF_NEX], NI=st[1], S=st[2], T=T,
         )
     elif sk == "interp":
         nw = words.shape[0]

@@ -550,53 +550,222 @@ inline void varint_encode(Buf& out, const uint32_t* vals, int n, uint32_t sum_of
     }
 }
 
-// qmx.py: greedy width classes over 128-bit payload words + selector bytes
+// QMX — the reference byte format (qmx_codec.hpp; native twin of
+// codecs/qmx.py, byte-identical by test). 15 width classes, values
+// striped over four 32-bit lanes per 16-byte payload word (4 classes
+// use two words with straddling values), selector = (type<<4) |
+// (~(batch-1)&0xF), selectors appended REVERSED after the payload,
+// ds2i wrapper prefixes vbyte(enc_len).
+namespace qmx {
+
+static const int BITS_OF_TYPE[15] = {0,1,2,3,4,5,6,7,8,9,10,12,16,21,32};
+static const int INTS_OF_TYPE[15] = {256,128,64,40,32,24,20,36,16,28,12,20,8,12,4};
+// bits -> (type, ints); -1 for non-class widths
+inline int type_of_bits(int w) {
+    switch (w) {
+        case 0: return 0; case 1: return 1; case 2: return 2; case 3: return 3;
+        case 4: return 4; case 5: return 5; case 6: return 6; case 7: return 7;
+        case 8: return 8; case 9: return 9; case 10: return 10; case 12: return 11;
+        case 16: return 12; case 21: return 13; case 32: return 14;
+        default: return -1;
+    }
+}
+// decode-side payload advance per instance (bytes)
+inline int adv_of_type(int t) {
+    int w = BITS_OF_TYPE[t];
+    if (t == 0) return 0;
+    return (w == 7 || w == 9 || w == 12 || w == 21) ? 32 : 16;
+}
+
+inline uint8_t bits_needed_for(uint32_t v) {
+    if (v == 0x01) return 0;
+    if (v <= 0x01) return 1;
+    if (v <= 0x03) return 2;
+    if (v <= 0x07) return 3;
+    if (v <= 0x0F) return 4;
+    if (v <= 0x1F) return 5;
+    if (v <= 0x3F) return 6;
+    if (v <= 0x7F) return 7;
+    if (v <= 0xFF) return 8;
+    if (v <= 0x1FF) return 9;
+    if (v <= 0x3FF) return 10;
+    if (v <= 0xFFF) return 12;
+    if (v <= 0xFFFF) return 16;
+    if (v <= 0x1FFFFF) return 21;
+    return 32;
+}
+
+// (type, lane) -> packed bit layout within the instance payload:
+// value = bits[boff_a .. +wa) | bits[boff_b .. +wb) << wa
+struct Lane { int16_t ba, wa, bb, wb; };
+struct LaneTable {
+    Lane tab[15][128];
+    LaneTable() {
+        memset(tab, 0, sizeof(tab));
+        for (int t = 1; t < 15; t++) {
+            int w = BITS_OF_TYPE[t];
+            int ints = INTS_OF_TYPE[t];
+            for (int j = 0; j < ints; j++) {
+                Lane& L = tab[t][j];
+                if (w == 8)  { L = {(int16_t)(j * 8), 8, 0, 0}; continue; }
+                if (w == 16) { L = {(int16_t)(j * 16), 16, 0, 0}; continue; }
+                if (w == 32) { L = {(int16_t)(j * 32), 32, 0, 0}; continue; }
+                if (w != 7 && w != 9 && w != 12 && w != 21) {
+                    L = {(int16_t)((j & 3) * 32 + (j >> 2) * w), (int16_t)w, 0, 0};
+                    continue;
+                }
+                // two-word classes; word1 restart offsets are the
+                // reference's hardcoded +3/+4/+8/+11
+                int n0 = (w == 7) ? 16 : (w == 9) ? 12 : (w == 12) ? 8 : 4;
+                int off1 = (w == 7) ? 3 : (w == 9) ? 4 : (w == 12) ? 8 : 11;
+                int lo = 32 - (n0 >> 2) * w;
+                if (j < n0) {
+                    L = {(int16_t)((j & 3) * 32 + (j >> 2) * w), (int16_t)w, 0, 0};
+                } else if (j < n0 + 4) {
+                    L = {(int16_t)((j & 3) * 32 + (n0 >> 2) * w), (int16_t)lo,
+                         (int16_t)(128 + (j & 3) * 32), (int16_t)(w - lo)};
+                } else {
+                    L = {(int16_t)(128 + (j & 3) * 32 + ((j - n0 - 4) >> 2) * w + off1),
+                         (int16_t)w, 0, 0};
+                }
+            }
+        }
+    }
+};
+inline const LaneTable& lane_table() { static LaneTable lt; return lt; }
+
+// assign per-value widths: group-of-4 max, end-of-block forcing,
+// promotion cascade (qmx_codec.hpp encode steps 1-3)
+inline void assign_widths(const uint32_t* vals, int bs, uint8_t* len_buf /* bs+512 */) {
+    for (int i = 0; i < bs; i++) len_buf[i] = bits_needed_for(vals[i]);
+    memset(len_buf + bs, 0, 512);
+
+    for (int p = 0; p < bs + 4; p += 4) {
+        uint8_t m = std::max(std::max(len_buf[p], len_buf[p + 1]),
+                             std::max(len_buf[p + 2], len_buf[p + 3]));
+        len_buf[p] = len_buf[p + 1] = len_buf[p + 2] = len_buf[p + 3] = m;
+    }
+
+    int p = 0;
+    while (p < bs) {
+        int rem = bs - p;
+        if (rem < 4) {
+            uint8_t largest = 0;
+            for (int b = 0; b < 8; b++) largest = std::max(largest, len_buf[p + b]);
+            if (largest <= 8)       for (int b = 0; b < 8; b++) len_buf[p + b] = 8;
+            else if (largest <= 16) for (int b = 0; b < 8; b++) len_buf[p + b] = 16;
+            else if (largest <= 32) for (int b = 0; b < 8; b++) len_buf[p + b] = 32;
+        } else if (rem < 8) {
+            uint8_t largest = 0;
+            for (int b = 0; b < 8; b++) largest = std::max(largest, len_buf[p + b]);
+            if (largest <= 8) for (int b = 0; b < 8; b++) len_buf[p + b] = 8;
+            // (the reference repeats the <=8 test where <=16 was meant;
+            // replicated as-is for byte identity)
+        } else if (rem < 16) {
+            uint8_t largest = 0;
+            for (int b = 0; b < 16; b++) largest = std::max(largest, len_buf[p + b]);
+            if (largest <= 8) for (int b = 0; b < 16; b++) len_buf[p + b] = 8;
+        }
+
+        int w = len_buf[p];
+        int t = type_of_bits(w);
+        if (t < 0) { abort(); }  // unreachable: cascade only yields classes
+        int ints = INTS_OF_TYPE[t];
+        static const int NEXT[33] = {1,2,3,4,5,6,7,8,9,10,12,0,16,0,0,0,21,
+                                     0,0,0,0,32,0,0,0,0,0,0,0,0,0,0,64};
+        int nxt = NEXT[w];
+        bool promoted = false;
+        for (int blk = 0; blk < ints; blk += 4) {
+            if (len_buf[p + blk] > w) {
+                len_buf[p] = len_buf[p + 1] = len_buf[p + 2] = len_buf[p + 3] = (uint8_t)nxt;
+                promoted = true;
+            }
+        }
+        if (!promoted && len_buf[p] == w) {
+            for (int b = 0; b < ints; b++) len_buf[p + b] = (uint8_t)w;
+            p += ints;
+        }
+    }
+}
+
+inline void pack_instance(Buf& dest, const uint32_t* vals, int t) {
+    int w = BITS_OF_TYPE[t];
+    int ints = INTS_OF_TYPE[t];
+    int nbytes = adv_of_type(t);
+    uint32_t lanes[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    const LaneTable& lt = lane_table();
+    for (int j = 0; j < ints; j++) {
+        const Lane& L = lt.tab[t][j];
+        uint64_t lowmask = (L.wa >= 32) ? 0xFFFFFFFFull : ((1ull << L.wa) - 1);
+        uint32_t lo = (uint32_t)(vals[j] & lowmask);
+        lanes[L.ba >> 5] |= lo << (L.ba & 31);
+        if (L.wb) lanes[L.bb >> 5] |= (vals[j] >> L.wa) << (L.bb & 31);
+    }
+    for (int b = 0; b < nbytes; b++)
+        dest.push_back((uint8_t)(lanes[b >> 2] >> (8 * (b & 3))));
+    (void)w;
+}
+
+inline void write_out(Buf& dest, const uint32_t* vals, int raw_count, int bits, Buf& keys) {
+    int t = type_of_bits(bits);
+    int ints = INTS_OF_TYPE[t];
+    int count = (raw_count + ints - 1) / ints;
+    std::vector<uint32_t> padded(vals, vals + raw_count);
+    padded.resize((size_t)count * ints, 0);
+    int vi = 0;
+    while (count > 0) {
+        int batch = count > 16 ? 16 : count;
+        keys.push_back((uint8_t)((t << 4) | (~(batch - 1) & 0x0F)));
+        count -= batch;
+        for (int c = 0; c < batch; c++) {
+            if (bits == 0) {
+                vi += 256;
+            } else if (bits == 8 || bits == 16 || bits == 32) {
+                // plain stores stop at the run's end (truncated tail)
+                int size = bits / 8;
+                int take = std::min(ints, std::max(0, raw_count - vi));
+                for (int j = 0; j < take; j++)
+                    for (int b = 0; b < size; b++)
+                        dest.push_back((uint8_t)(padded[vi + j] >> (8 * b)));
+                vi += ints;
+            } else {
+                pack_instance(dest, padded.data() + vi, t);
+                vi += ints;
+            }
+        }
+    }
+}
+
+inline size_t encode_block(Buf& out, const uint32_t* vals, int bs) {
+    std::vector<uint8_t> len_buf(bs + 512);
+    assign_widths(vals, bs, len_buf.data());
+
+    size_t start = out.size();
+    Buf keys;
+    int rlen = 1;
+    int bits = len_buf[0];
+    for (int i = 1; i < bs; i++) {
+        if (len_buf[i] == bits) {
+            rlen++;
+        } else {
+            write_out(out, vals + i - rlen, rlen, bits, keys);
+            bits = len_buf[i];
+            rlen = 1;
+        }
+    }
+    write_out(out, vals + bs - rlen, rlen, bits, keys);
+    out.insert(out.end(), keys.rbegin(), keys.rend());
+    return out.size() - start;
+}
+
+}  // namespace qmx
+
 inline void qmx_encode(Buf& out, const uint32_t* vals, int n, uint32_t sum_of_values) {
     if (n < BLOCK_SIZE) { interp_encode(out, vals, n, sum_of_values); return; }
-    static const int widths[] = {0,1,2,3,4,5,6,7,8,9,10,12,16,21,32};
-    static const int nclasses = (int)(sizeof(widths) / sizeof(widths[0]));
-    int per_word[nclasses];
-    for (int c = 0; c < nclasses; c++) per_word[c] = widths[c] ? 128 / widths[c] : 128;
-
-    std::vector<int> pclass;   // class per payload word
-    Buf words;
-    int i = 0;
-    while (i < n) {
-        int best = -1;
-        for (int ci = 0; ci < nclasses; ci++) {
-            int cnt = std::min(per_word[ci], n - i);
-            int w = widths[ci];
-            bool ok = true;
-            for (int j = 0; j < cnt; j++) {
-                int bits = vals[i + j] ? 64 - __builtin_clzll((uint64_t)vals[i + j]) : 0;
-                if (bits > w) { ok = false; break; }
-            }
-            if (ok) { best = ci; break; }
-        }
-        int cnt = std::min(per_word[best], n - i);
-        int w = widths[best];
-        unsigned __int128 acc = 0;
-        if (w) {
-            for (int j = 0; j < cnt; j++)
-                acc |= (unsigned __int128)vals[i + j] << (j * w);
-        }
-        for (int byte = 0; byte < 16; byte++)
-            words.push_back((uint8_t)(acc >> (8 * byte)));
-        pclass.push_back(best);
-        i += cnt;
-    }
-    Buf selectors;
-    size_t pi = 0;
-    while (pi < pclass.size()) {
-        int ci = pclass[pi];
-        int run = 1;
-        while (pi + run < pclass.size() && pclass[pi + run] == ci && run < 15) run++;
-        selectors.push_back((uint8_t)((ci << 4) | run));
-        pi += run;
-    }
-    vbyte_encode(out, words.size());
-    out.insert(out.end(), words.begin(), words.end());
-    out.insert(out.end(), selectors.begin(), selectors.end());
+    Buf body;
+    qmx::encode_block(body, vals, n);
+    vbyte_encode(out, body.size());
+    out.insert(out.end(), body.begin(), body.end());
 }
 
 using EncodeFn = void (*)(Buf&, const uint32_t*, int, uint32_t);
@@ -736,8 +905,8 @@ const int E_BUCKETS[] = {0, 4, 8, 16, 32, 64, 128};
 const int NC_BUCKETS[] = {8, 16, 32, 64, 128};
 const int WIN_BUCKETS[] = {4, 16, 64, 180};
 const int G_BUCKETS[] = {24, 40, 64};
-const int NW_BUCKETS[] = {8, 32, 128};
-const int S_BUCKETS[] = {8, 16, 32};
+const int NW_BUCKETS[] = {8, 16, 32};  // QMX instances per block (max 32)
+const int S_BUCKETS[] = {8, 16, 32};   // QMX selectors per block (max 32)
 
 inline uint32_t rd_u32(const uint8_t* d, long p) {
     return (uint32_t)d[p] | ((uint32_t)d[p + 1] << 8) |
@@ -866,25 +1035,31 @@ inline long var_stream(const uint8_t* d, long pos, int cur, int32_t* row,
 
 inline long qmx_stream(const uint8_t* d, long pos, int cur, int32_t* row,
                        int& kind, int& p1, int& p2) {
+    // Reference format: vbyte(enc_len), payload, selectors REVERSED at the
+    // end. Replay the decoder's selector walk (while in <= keys) to count
+    // selectors and instances (qmx_codec.hpp decode loop).
     long q = pos;
-    uint64_t plen = vbyte_read(d, q);
-    long nw = (long)plen / 16;
-    long sel0 = q + (long)plen;
-    long covered = 0, ns = 0;
-    while (covered < nw) {
-        covered += d[sel0 + ns] & 15;
+    uint64_t elen = vbyte_read(d, q);
+    long in = q, keys = q + (long)elen - 1;
+    long ns = 0, ninst = 0;
+    while (in <= keys) {
+        uint8_t sel = d[keys--];
         ns++;
+        int t = sel >> 4;
+        int batch = 16 - (sel & 0x0F);
+        ninst += batch;
+        in += (long)batch * blockenc::qmx::adv_of_type(t);
     }
     row[F_KIND] = KIND_QMX;
     row[BF_BIT0] = (int32_t)(q * 8);
-    row[BF_B] = (int32_t)nw;
+    row[BF_B] = (int32_t)ninst;
     row[BF_NEX] = (int32_t)ns;
-    row[BF_EX0] = (int32_t)sel0;
+    row[BF_EX0] = (int32_t)(q + (long)elen - 1);  // LAST selector byte
     row[F_NVALS] = cur;
     kind = KIND_QMX;
-    p1 = bucket(nw, NW_BUCKETS, 3);
+    p1 = bucket(ninst, NW_BUCKETS, 3);
     p2 = bucket(ns, S_BUCKETS, 3);
-    return sel0 + ns;
+    return q + (long)elen;
 }
 
 // codec ids: 0 optpfor, 1 varint, 2 interpolative, 3 qmx, 4 mixed

@@ -1,15 +1,22 @@
-"""Batched QMX 128-block decode on device.
+"""Batched QMX 128-block decode on device — reference byte format.
 
-Mirrors codecs/qmx.py (the re-derivation of the reference's qmx_codec.hpp
-selector design): 16-byte payload words each packing floor(128/w) values
-at a per-word width w, plus trailing selector bytes (width_class << 4 |
-run of words).
+Decodes the reference's QMX layout (qmx_codec.hpp; see codecs/qmx.py for
+the format): payload instances of 16 or 32 bytes, selector bytes stored
+reversed at the end of the block, each selector = (type << 4) |
+(~(batch-1) & 0xF) covering up to 16 instances.
 
-Device formulation: selector bytes expand to per-payload-word classes
-with a run-boundary comparison-reduce; per-word value counts prefix-scan
-into word bases; each output lane locates its word branch-free, then
-extracts its bit field from the payload window. The reference needs ~6k
-lines of unrolled SSE for this; the selector table IS the kernel here.
+Device formulation (the reference needs ~6k lines of unrolled SSE; here
+the layout tables ARE the kernel):
+  1. gather the ≤S selector bytes (walking back from the last byte =
+     forward selector order), expand to a per-instance type stream via a
+     coverage compare against the running batch sum;
+  2. prefix-scan per-instance output counts and payload advances into
+     output bases / payload byte bases;
+  3. each output lane locates its instance branch-free, then reads its
+     (bitoff_a, width_a, bitoff_b, width_b) from LANE_TABLE (the 4-lane
+     striping spec, shared with the host oracle) and extracts straight
+     from the resident word stream;
+  4. type-0 lanes (runs of the value 1) are overridden to 1.
 """
 
 from functools import partial
@@ -19,77 +26,77 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..codecs.qmx import QMX_WIDTHS, _PER_WORD
+from ..codecs.qmx import ADV_OF_TYPE, INTS_OF_TYPE, LANE_TABLE
 
 _U32 = jnp.uint32
 
+_INTS = jnp.asarray(INTS_OF_TYPE, dtype=jnp.int32)
+_ADV = jnp.asarray(ADV_OF_TYPE, dtype=jnp.int32)
+_TAB = jnp.asarray(LANE_TABLE, dtype=jnp.int32)  # (15, 256, 4)
 
-@partial(jax.jit, static_argnames=("NW", "S", "T"))
-def qmx_decode(words, pay_bit0, nwords, sel_byte0, nsel, NW, S, T=128):
+
+def _extract(words, bitoff, width):
+    """Gather `width` bits at absolute bit offset from the u32 stream."""
+    nw = words.shape[0]
+    w0i = bitoff >> 5
+    s = (bitoff & 31).astype(_U32)
+    w0 = words[jnp.clip(w0i, 0, nw - 1)]
+    w1 = words[jnp.clip(w0i + 1, 0, nw - 1)]
+    x = (w0 >> s) | jnp.where(s > 0, w1 << (_U32(32) - s), _U32(0))
+    mask = jnp.where(
+        width >= 32, _U32(0xFFFFFFFF),
+        (_U32(1) << jnp.clip(width, 0, 31).astype(_U32)) - _U32(1),
+    )
+    return x & mask
+
+
+@partial(jax.jit, static_argnames=("NI", "S", "T"))
+def qmx_decode(words, pay_bit0, ninst, sel_last, nsel, NI, S, T=128):
     """Decode one group of full QMX blocks.
 
-    words: u32[] stream; pay_bit0 (R,): payload start (bits);
-    nwords (R,): 16-byte payload words; sel_byte0 (R,): selector bytes
-    start; nsel (R,): selector count. NW/S: static capacities.
-    Returns (R, T) int32 values.
-    """
+    words: u32[] stream; pay_bit0 (R,): payload start (bits, after the
+    vbyte length); ninst (R,): payload instances; sel_last (R,): byte
+    position of the LAST stream byte (= first selector in walk order);
+    nsel (R,): selector count. NI/S: static capacities (max 32 each).
+    Returns (R, T) int32 values."""
     R = pay_bit0.shape[0]
     nw_stream = words.shape[0]
 
-    # --- selector bytes via realigned window (static byte positions)
-    SW = (S + 7) // 4 + 2
-    sbit0 = sel_byte0 * 8
-    widx = (sbit0 >> 5)[:, None] + jnp.arange(SW, dtype=jnp.int32)[None, :]
-    swin = words[jnp.clip(widx, 0, nw_stream - 1)]
-    ss = (sbit0 & 31)[:, None].astype(_U32)
-    snxt = jnp.concatenate([swin[:, 1:], jnp.zeros((R, 1), _U32)], axis=1)
-    saligned = (swin >> ss) | jnp.where(ss > 0, snxt << (_U32(32) - ss), _U32(0))
-
-    def sbyte(k):
-        return ((saligned[:, k >> 2] >> _U32(8 * (k & 3))) & _U32(0xFF)).astype(jnp.int32)
-
-    sel = jnp.stack([sbyte(k) for k in range(S)], axis=1)  # (R, S)
+    # --- selector bytes, walking backwards from sel_last (forward order)
+    bpos = sel_last[:, None] - jnp.arange(S, dtype=jnp.int32)[None, :]  # (R,S)
+    wsel = words[jnp.clip(bpos >> 2, 0, nw_stream - 1)]
+    sel = ((wsel >> ((bpos & 3) * 8).astype(_U32)) & _U32(0xFF)).astype(jnp.int32)
     svalid = jnp.arange(S, dtype=jnp.int32)[None, :] < nsel[:, None]
-    ci_s = jnp.where(svalid, sel >> 4, 0)
-    run_s = jnp.where(svalid, sel & 15, 0)
-    run_cum = jnp.cumsum(run_s, axis=1)  # inclusive (R, S)
+    t_s = jnp.where(svalid, sel >> 4, 0)
+    batch_s = jnp.where(svalid, 16 - (sel & 15), 0)
 
-    # --- per-payload-word class
-    ww = jnp.arange(NW, dtype=jnp.int32)[None, :, None]  # (1, NW, 1)
-    cover = (ww < run_cum[:, None, :]) & (ww >= (run_cum - run_s)[:, None, :])
-    class_w = jnp.where(cover, ci_s[:, None, :], 0).sum(axis=2, dtype=jnp.int32)  # (R, NW)
-    wvalid = jnp.arange(NW, dtype=jnp.int32)[None, :] < nwords[:, None]
+    # --- per-instance type via selector coverage
+    cum = jnp.cumsum(batch_s, axis=1)  # inclusive (R, S)
+    ii = jnp.arange(NI, dtype=jnp.int32)[None, :, None]
+    cover = (ii < cum[:, None, :]) & (ii >= (cum - batch_s)[:, None, :])
+    t_i = jnp.where(cover, t_s[:, None, :], 0).sum(axis=2, dtype=jnp.int32)  # (R, NI)
+    ivalid = jnp.arange(NI, dtype=jnp.int32)[None, :] < ninst[:, None]
 
-    per_w = jnp.zeros((R, NW), jnp.int32)
-    width_w = jnp.zeros((R, NW), jnp.int32)
-    for c, (w, per) in enumerate(zip(QMX_WIDTHS, _PER_WORD)):
-        hit = (class_w == c) & wvalid
-        per_w = per_w + jnp.where(hit, per, 0)
-        width_w = width_w + jnp.where(hit, w, 0)
-    base_w = jnp.cumsum(per_w, axis=1) - per_w  # exclusive (R, NW)
+    ints_i = jnp.where(ivalid, _INTS[t_i], 0)
+    adv_i = jnp.where(ivalid, _ADV[t_i], 0)
+    out_base = jnp.cumsum(ints_i, axis=1) - ints_i  # exclusive (R, NI)
+    pay_byte = jnp.cumsum(adv_i, axis=1) - adv_i
 
-    # --- locate each output lane's word
+    # --- locate each output lane's instance
     v = jnp.arange(T, dtype=jnp.int32)[None, :]
-    le = base_w[:, None, :] <= v[:, :, None]  # (R, T, NW)
-    word_of = le.sum(axis=2, dtype=jnp.int32) - 1
-    word_of = jnp.clip(word_of, 0, NW - 1)
-    pick = jnp.arange(NW, dtype=jnp.int32)[None, None, :] == word_of[:, :, None]
-    b_v = jnp.where(pick, base_w[:, None, :], 0).sum(axis=2, dtype=jnp.int32)
-    wd_v = jnp.where(pick, width_w[:, None, :], 0).sum(axis=2, dtype=jnp.int32)
-    jj = v - b_v
+    le = (out_base[:, None, :] <= v[:, :, None]) & ivalid[:, None, :]  # (R,T,NI)
+    inst_of = jnp.clip(le.sum(axis=2, dtype=jnp.int32) - 1, 0, NI - 1)
+    pick = jnp.arange(NI, dtype=jnp.int32)[None, None, :] == inst_of[:, :, None]
+    t_v = jnp.where(pick, t_i[:, None, :], 0).sum(axis=2, dtype=jnp.int32)
+    b_v = jnp.where(pick, out_base[:, None, :], 0).sum(axis=2, dtype=jnp.int32)
+    p_v = jnp.where(pick, pay_byte[:, None, :], 0).sum(axis=2, dtype=jnp.int32)
+    j = jnp.clip(v - b_v, 0, 255)
 
-    # --- payload bit-field extraction from the block window
-    PW = NW * 4 + 2  # u32 words covering the payload
-    pidx = (pay_bit0 >> 5)[:, None] + jnp.arange(PW, dtype=jnp.int32)[None, :]
-    pwin = words[jnp.clip(pidx, 0, nw_stream - 1)]  # (R, PW)
-    bitoff = (pay_bit0 & 31)[:, None] + word_of * 128 + jj * wd_v  # (R, T)
-    w0i = jnp.clip(bitoff >> 5, 0, PW - 2)
-    s = (bitoff & 31).astype(_U32)
-    cols = jnp.arange(PW, dtype=jnp.int32)[None, None, :]
-    w0 = jnp.where(w0i[:, :, None] == cols, pwin[:, None, :], _U32(0)).sum(axis=2, dtype=_U32)
-    w1 = jnp.where((w0i + 1)[:, :, None] == cols, pwin[:, None, :], _U32(0)).sum(axis=2, dtype=_U32)
-    x = (w0 >> s) | jnp.where(s > 0, w1 << (_U32(32) - s), _U32(0))
-    mask = jnp.where(
-        wd_v >= 32, _U32(0xFFFFFFFF), (_U32(1) << jnp.clip(wd_v, 0, 31).astype(_U32)) - _U32(1)
-    )
-    return (x & mask).astype(jnp.int32)
+    # --- LANE_TABLE extraction
+    lane = _TAB[t_v, j]  # (R, T, 4)
+    ba, wa, bb, wb = lane[..., 0], lane[..., 1], lane[..., 2], lane[..., 3]
+    base_bits = pay_bit0[:, None] + p_v * 8
+    a = _extract(words, base_bits + ba, wa)
+    b = jnp.where(wb > 0, _extract(words, base_bits + bb, wb), _U32(0))
+    val = a | (b << jnp.clip(wa, 0, 31).astype(_U32))
+    return jnp.where(t_v == 0, 1, val.astype(jnp.int32))
