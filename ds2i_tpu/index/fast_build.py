@@ -102,6 +102,15 @@ def build_seq_collections(kind_name, docs_lists, freqs_lists, occs, num_docs, pa
             return None  # Python path raises (or accepts) per sequence type
     if np.any(freqs_v <= 0):
         raise ValueError("positive_sequence requires positive values")
+    # the Python writers raise when a list's freq prefix sum exceeds its
+    # declared occurrences+1 universe; the native path does unchecked
+    # bit writes at value-derived positions, so catch it here instead of
+    # corrupting the heap
+    if count and len(freqs_v):
+        fsums = np.add.reduceat(freqs_v, np.minimum(voff[:-1], len(freqs_v) - 1))
+        fsums = np.where(ns > 0, fsums, 0)
+        if np.any(fsums > occs):
+            raise ValueError("sum of frequencies exceeds declared occurrences")
 
     res = seq_write_batch_native(
         kind_name, docs_v, freqs_v.astype(_U64), voff, num_docs, occs.astype(_U64),
@@ -145,6 +154,13 @@ def build_ef_collections(docs_lists, freqs_lists, occs, num_docs, params, worker
             raise ValueError("Sequence is not sorted")
     if np.any(freqs_raw <= 0):
         raise ValueError("positive_sequence requires positive values")
+    # (same guard as build_seq_collections: the native writer does
+    # unchecked value-positioned bit writes)
+    if count and len(freqs_raw):
+        fsums = np.add.reduceat(freqs_raw, np.minimum(voff[:-1], len(freqs_raw) - 1))
+        fsums = np.where(ns > 0, fsums, 0)
+        if np.any(fsums > occs):
+            raise ValueError("sum of frequencies exceeds declared occurrences")
 
     # freq stream: strict EF over (occ+1) - n + 1 of (cumsum within list - i)
     cum = np.cumsum(freqs_raw)

@@ -175,10 +175,6 @@ def greedy_tradeoff(index, lambdas, budget, tradeoff_log=None):
     return block_types, block_params
 
 
-class _TransformedBlock(BlockData):
-    pass
-
-
 def rebuild_mixed(index, block_types, block_params, params=None):
     """Re-encode every block with its chosen (type,param) into block_mixed
     (list_transformer, optimal_hybrid_index.cpp:252-301)."""

@@ -85,7 +85,13 @@ def generate_collection(
     def draw(k):
         # inverse-cdf sampling without replacement (np.random.choice with
         # p= revalidates the whole vector per call — O(num_terms), hours
-        # at multi-million vocabularies)
+        # at multi-million vocabularies).
+        # NOTE: this is batched with-replacement draws deduplicated in
+        # order — a different weighted without-replacement scheme (and RNG
+        # consumption) than successive np.random.choice(replace=False),
+        # so query logs generated at the same seed differ from pre-change
+        # logs; regenerate any cached .queries files (DS2I_BENCH_CACHE)
+        # rather than mixing old and new logs in comparisons.
         k = min(k, nt)  # can't draw more distinct terms than exist
         picks = []
         while len(picks) < k:

@@ -105,8 +105,12 @@ def _merge_runs(run_paths, key_field, out_path, buf_rows):
 
 def external_sort_to_file(chunks, dtype, key_field, out_path, budget_bytes, tmpdir=None):
     """Sort an iterable of structured-array chunks by `key_field` into a
-    single .npy at `out_path`, using at most ~budget_bytes of RAM for run
-    formation. Returns the total row count."""
+    single .npy at `out_path`. budget_bytes bounds the SIZE OF EACH
+    SORTED RUN, not peak RSS: run formation concatenates the pending
+    chunks and makes a stable-sorted copy, so transient peak memory is
+    roughly 3x budget_bytes (pending + concatenated + reordered) plus
+    merge buffers — size DS2I_SORT_BUDGET accordingly. Returns the total
+    row count."""
     dtype = np.dtype(dtype)
     own_tmp = tempfile.TemporaryDirectory(dir=tmpdir or os.path.dirname(out_path) or ".")
     try:

@@ -220,3 +220,25 @@ def test_native_seq_writer_bit_identical(name, monkeypatch):
         dc, fc = c.decode_list(i)
         np.testing.assert_array_equal(da, dc)
         np.testing.assert_array_equal(fa, fc)
+
+
+@pytest.mark.parametrize("type_name", ["ef", "opt"])
+def test_native_batch_rejects_excess_freq_sum(type_name):
+    """The fast path must raise (like the Python writers) when a list's
+    freq sum exceeds its declared occurrences, instead of doing unchecked
+    native bit writes at value-derived positions."""
+    from ds2i_tpu import GlobalParameters
+    from ds2i_tpu.index.types import make_index_type
+    from ds2i_tpu.native import available
+
+    if not available():
+        pytest.skip("native library not built")
+
+    cls = make_index_type(type_name)
+    b = cls.builder(100, GlobalParameters())
+    docs = np.array([1, 5, 9], np.uint64)
+    freqs = np.array([3, 4, 5], np.uint64)
+    # declared occurrences (6) < sum(freqs) (12)
+    b.add_posting_list(3, docs, freqs, 6)
+    with pytest.raises(ValueError):
+        b.build()
