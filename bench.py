@@ -55,10 +55,12 @@ NUM_QUERIES = int(os.environ.get("DS2I_BENCH_QUERIES", 35_000))
 INDEX_TYPE = os.environ.get("DS2I_BENCH_INDEX", "block_optpfor")
 # "and": top-10 BM25 ranked_and (the reference's headline op);
 # "or": top-10 BM25 ranked_or (exhaustive DAAT union);
+# "wand"/"maxscore": top-10 BM25 with block-max pruning (identical
+#   results to ranked_or; see ResidentEngine.wand);
 # "counts": boolean and+or counts (BASELINE config 1)
 BENCH_OP = os.environ.get("DS2I_BENCH_OP", "and")
-if BENCH_OP not in ("and", "or", "counts"):
-    raise SystemExit(f"DS2I_BENCH_OP must be and|or|counts, got {BENCH_OP!r}")
+if BENCH_OP not in ("and", "or", "wand", "maxscore", "counts"):
+    raise SystemExit(f"DS2I_BENCH_OP must be and|or|wand|maxscore|counts, got {BENCH_OP!r}")
 
 
 def log(msg):
@@ -115,9 +117,12 @@ def main():
 
     # parse + lay out the batch (reference: queries parsed before op_perftest)
     t0 = time.time()
-    ops = {"counts": ("counts",), "or": ("or",)}.get(BENCH_OP, ("and",))
-    plan = engine.prepare(queries, k=10, ops=ops, ranked=BENCH_OP != "counts")
-    log(f"batch layout: {time.time()-t0:.1f}s, {len(plan['plans'])} parts")
+    ops = {"counts": ("counts",), "or": ("or",), "wand": ("or",),
+           "maxscore": ("or",)}.get(BENCH_OP, ("and",))
+    prune = BENCH_OP in ("wand", "maxscore")
+    plan = engine.prepare(queries, k=10, ops=ops, ranked=BENCH_OP != "counts", prune=prune)
+    log(f"batch layout{' (block-max pruned)' if prune else ''}: "
+        f"{time.time()-t0:.1f}s, {len(plan['plans'])} parts")
 
     # warmup (compile + cache shapes)
     t0 = time.time()
@@ -135,7 +140,7 @@ def main():
 
     mean_us = float(np.median(times) / len(queries) * 1e6)
     print(json.dumps({
-        "metric": f"median {'boolean and+or counts' if BENCH_OP == 'counts' else 'ranked_' + BENCH_OP} query time, {INDEX_TYPE} index, "
+        "metric": f"median {'boolean and+or counts' if BENCH_OP == 'counts' else BENCH_OP if BENCH_OP in ('wand', 'maxscore') else 'ranked_' + BENCH_OP} query time, {INDEX_TYPE} index, "
                   f"{NUM_DOCS}-doc collection, {NUM_QUERIES}-query log, batched TPU engine",
         "value": round(mean_us, 3),
         "unit": "us/query",

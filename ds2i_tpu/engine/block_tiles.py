@@ -15,12 +15,19 @@ a host-side decode for interpolative tails (bounded by one partial
 block per list).
 
 Field column reuse (same (Nt, N_FIELDS) table shape as the EF tiles so
-the resident engine shares its gather machinery):
-  F_KIND      KIND_OPT / KIND_INTERP
-  col 1       stream bit0 (OPT: slot section; INTERP: after any vbyte)
-  col 2       OPT: bit width b
-  col 3       OPT: n_exceptions
-  col 4       OPT: exception-stream bit0; INTERP: sum_of_values
+the resident engine shares its gather machinery). Cursors are stored as
+(word index, bit-in-word) pairs — i32 word indexing addresses streams up
+to 8GB, lifting the old 2^31-bit (256MB) per-stream limit:
+  F_KIND      KIND_OPT / KIND_INTERP / KIND_VAR / KIND_QMX
+  BF_W0   (1) stream cursor word (OPT: slot section; INTERP/QMX: after
+              any vbyte; VAR: first group)
+  BF_B    (2) OPT: bit width b; VAR: group count; QMX: instance count
+  BF_NEX  (3) OPT: n_exceptions; QMX: selector count
+  BF_EX_W0(4) OPT: exception-stream word; QMX: last-selector word;
+              INTERP: sum_of_values
+  BF_BOFF (5) cursor bit-in-word (0..31)
+  BF_EX_BOFF(6) OPT: exception bit-in-word; QMX: last-selector
+              byte-in-word (0..3)
   F_BASE      docs: block base (prev max + 1); freqs: 0
   F_NVALS     values in the block
 """
@@ -42,10 +49,12 @@ KIND_INTERP = 9
 KIND_VAR = 10
 KIND_QMX = 11
 
-BF_BIT0 = 1
+BF_W0 = 1
 BF_B = 2
 BF_NEX = 3
-BF_EX0 = 4  # OPT: exception bit0; INTERP: sum_of_values
+BF_EX_W0 = 4  # OPT: exception word; QMX: last-selector word; INTERP: sum
+BF_BOFF = 5
+BF_EX_BOFF = 6
 
 _MODE_COUNT = [sum(c for c, _ in mode) for mode in S16_MODES]
 
@@ -85,10 +94,12 @@ def _opt_stream(data, pos, cur, row):
     ex_pos = pos + 2 + 4 * sw
     ew = _s16_words(data, ex_pos, 2 * nex) if nex else 0
     row[F_KIND] = KIND_OPT
-    row[BF_BIT0] = (pos + 2) * 8
+    row[BF_W0] = (pos + 2) >> 2
+    row[BF_BOFF] = ((pos + 2) & 3) * 8
     row[BF_B] = b
     row[BF_NEX] = nex
-    row[BF_EX0] = ex_pos * 8
+    row[BF_EX_W0] = ex_pos >> 2
+    row[BF_EX_BOFF] = (ex_pos & 3) * 8
     row[F_NVALS] = cur
     return ex_pos + 4 * ew, b, nex
 
@@ -102,20 +113,22 @@ def _interp_stream(data, pos, cur, known_sum, row):
         s, q = int(known_sum), pos
     _, end = InterpolativeBlock.decode(data, pos, known_sum, cur)
     row[F_KIND] = KIND_INTERP
-    row[BF_BIT0] = q * 8
-    row[BF_EX0] = s
+    row[BF_W0] = q >> 2
+    row[BF_BOFF] = (q & 3) * 8
+    row[BF_EX_W0] = s
     row[F_NVALS] = cur
     return end, (end - q) * 8
 
 
 def _var_stream(data, pos, cur, row):
-    """Fill VARINT fields (BF_BIT0 holds the BYTE offset); returns end."""
+    """Fill VARINT fields; returns end byte."""
     got = g = 0
     while got < cur:
         got += bin(int(data[pos + 9 * g])).count("1")
         g += 1
     row[F_KIND] = KIND_VAR
-    row[BF_BIT0] = pos
+    row[BF_W0] = pos >> 2
+    row[BF_BOFF] = (pos & 3) * 8
     row[BF_B] = g  # group count
     row[F_NVALS] = cur
     return pos + 9 * g, g
@@ -137,10 +150,12 @@ def _qmx_stream(data, pos, cur, row):
         ninst += batch
         in_off += batch * ADV_OF_TYPE[sel >> 4]
     row[F_KIND] = KIND_QMX
-    row[BF_BIT0] = q * 8
+    row[BF_W0] = q >> 2
+    row[BF_BOFF] = (q & 3) * 8
     row[BF_B] = ninst
     row[BF_NEX] = ns
-    row[BF_EX0] = q + elen - 1  # LAST selector byte (first in walk order)
+    row[BF_EX_W0] = (q + elen - 1) >> 2  # LAST selector byte (first in walk)
+    row[BF_EX_BOFF] = (q + elen - 1) & 3
     row[F_NVALS] = cur
     return q + elen, ninst, ns
 

@@ -46,7 +46,9 @@ from ..ops.varint_device import varint_decode
 from ..queries.bm25 import BM25
 from ..queries.parsing import query_freqs
 from .tile_executor import _decode_group
-from .tiles import F_BASE, F_NVALS, F_PREV_CUM, N_FIELDS, TILE, build_tile_tables
+from .tiles import (
+    F_BASE, F_NVALS, F_PREV_CUM, N_FIELDS, TILE, TileTables, build_tile_tables,
+)
 
 _F32 = np.float32
 _I32 = np.int32
@@ -64,9 +66,9 @@ def _pow2_at_least(x, lo=1):
 
 def _decode_block_stream(words, fld, st, R, is_docs, num_docs):
     """Decode one stream of one block group. st = ("opt", b, E, T) |
-    ("var", G, T) | ("qmx", NW, S, T) | ("interp", W, T). Returns
+    ("var", G, T) | ("qmx", NI, S, T) | ("interp", W, T). Returns
     (R, T) doc ids (docs) or raw freqs (freqs); pads NOT yet masked."""
-    from .block_tiles import BF_B, BF_BIT0, BF_EX0, BF_NEX
+    from .block_tiles import BF_B, BF_BOFF, BF_EX_BOFF, BF_EX_W0, BF_NEX, BF_W0
 
     sk, T = st[0], st[-1]
     j = jnp.arange(T, dtype=jnp.int32)[None, :]
@@ -74,23 +76,26 @@ def _decode_block_stream(words, fld, st, R, is_docs, num_docs):
         b = st[1]
         ws = (31 + T * min(b, 32)) // 32 + 1
         raw = optpfor_decode(
-            words, fld[:, BF_BIT0], fld[:, BF_B], fld[:, BF_NEX],
-            fld[:, BF_EX0], WS=ws, E=st[2], T=T, b_static=b,
+            words, fld[:, BF_W0], fld[:, BF_BOFF], fld[:, BF_B], fld[:, BF_NEX],
+            fld[:, BF_EX_W0], fld[:, BF_EX_BOFF], WS=ws, E=st[2], T=T, b_static=b,
         )
     elif sk == "var":
-        raw = varint_decode(words, fld[:, BF_BIT0], fld[:, BF_B], G=st[1], T=T)
+        raw = varint_decode(
+            words, fld[:, BF_W0], fld[:, BF_BOFF], fld[:, BF_B], G=st[1], T=T
+        )
     elif sk == "qmx":
         raw = qmx_decode(
-            words, fld[:, BF_BIT0], fld[:, BF_B], fld[:, BF_EX0],
-            fld[:, BF_NEX], NI=st[1], S=st[2], T=T,
+            words, fld[:, BF_W0], fld[:, BF_BOFF], fld[:, BF_B],
+            fld[:, BF_EX_W0], fld[:, BF_EX_BOFF], fld[:, BF_NEX],
+            NI=st[1], S=st[2], T=T,
         )
     elif sk == "interp":
         nw = words.shape[0]
         W = st[1]
-        widx = (fld[:, BF_BIT0] >> 5)[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+        widx = fld[:, BF_W0][:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
         win = words[jnp.clip(widx, 0, nw - 1)]
         cum = interp_decode(
-            win, fld[:, BF_BIT0] & 31, fld[:, F_NVALS], fld[:, BF_EX0],
+            win, fld[:, BF_BOFF], fld[:, F_NVALS], fld[:, BF_EX_W0],
             NC=T, W=W, steps=T - 1,
         )
         if is_docs:
@@ -149,6 +154,118 @@ def _cached_norm_rows(nl_blocks, tile_gblk0, ids, T):
     return jnp.take(nl_blocks, idx.reshape(-1), axis=0)  # (R*bpt, 32)
 
 
+def _decode_weight_blocks(
+    docs_words, freqs_words, tiles_docs, tiles_freqs, norm_lens,
+    gtile_ids, gtile_ids_f, blkperm, groups, groups_f, num_docs,
+    ranked, pallas=0, normcache=0, nl_blocks=None, tile_gblk0=None,
+):
+    """Decode every tile of the part into 32-slot block rows: returns
+    (docs32, w32) — (total_blocks, 32) docids (pads carry num_docs) and
+    doc-term weights (ranked) or 1.0 presence flags. Shared by the query
+    step and the block-max metadata pass so they cannot diverge."""
+    if groups_f:
+        # SPLIT mode (block indexes): each stream decodes in its own
+        # group-major order; freq blocks realign to docs order by one
+        # contiguous block-row gather.
+        d_blocks, f_blocks, nl_rows = [], [], []
+        for off, R, st in groups:
+            ids = gtile_ids[off : off + R]
+            d_blocks.append(
+                _decode_doc_group_blocks(docs_words, tiles_docs[ids], st, R, num_docs, split=True)
+            )
+            if ranked and normcache:
+                nl_rows.append(_cached_norm_rows(nl_blocks, tile_gblk0, ids, st[-1]))
+        for off, R, st in groups_f:
+            ids = gtile_ids_f[off : off + R]
+            ff = tiles_freqs[ids]
+            T = st[-1]
+            j = jnp.arange(T, dtype=jnp.int32)[None, :]
+            valid = j < ff[:, F_NVALS][:, None]
+            fv = jnp.where(valid, _decode_block_stream(freqs_words, ff, st, R, False, num_docs), 0)
+            if T < BLOCK:
+                fv = jnp.pad(fv, ((0, 0), (0, BLOCK - T)))
+            f_blocks.append(fv.reshape(R * max(T // BLOCK, 1), BLOCK))
+        docs32 = jnp.concatenate(d_blocks, axis=0)
+        freq32 = jnp.take(jnp.concatenate(f_blocks, axis=0), blkperm, axis=0)
+        freq32 = freq32.astype(jnp.float32)
+        if ranked:
+            if normcache:
+                nl = jnp.concatenate(nl_rows, axis=0)
+            else:
+                nl = norm_lens[jnp.clip(docs32, 0, num_docs - 1)]
+            k1, b = jnp.float32(BM25.k1), jnp.float32(BM25.b)
+            w = freq32 / (freq32 + k1 * (jnp.float32(1.0) - b + b * nl))
+            w = jnp.where(docs32 < num_docs, w, 0.0)
+        else:
+            w = jnp.where(docs32 < num_docs, 1.0, 0.0)
+        return docs32, w
+
+    # PAIR mode (EF family): both streams share the group layout
+    docs_blocks, w_blocks = [], []
+    for off, R, st in groups:
+        kind, T = st[0], st[-1]
+        ids = gtile_ids[off : off + R]
+        df = tiles_docs[ids]
+        ff = tiles_freqs[ids]
+        j = jnp.arange(T, dtype=jnp.int32)[None, :]
+        valid = j < df[:, F_NVALS][:, None]
+        W, WL = st[1], st[2]
+        if pallas:
+            doc, freq_i = pallas_decode.decode_pair(
+                docs_words, freqs_words, df, ff, W, WL, T, num_docs,
+                interpret=(pallas == 2),
+            )
+            freq = freq_i.astype(jnp.float32)
+        else:
+            dv = _decode_group(docs_words, df, W, WL, T)  # (R, T)
+            fv = _decode_group(freqs_words, ff, W, WL, T)
+            doc = jnp.where(valid, dv, num_docs)
+            prev = jnp.concatenate([ff[:, F_PREV_CUM][:, None], fv[:, :-1]], axis=1)
+            freq = jnp.where(valid, fv - prev, 0).astype(jnp.float32)
+        if ranked:
+            if normcache:
+                nl = _cached_norm_rows(nl_blocks, tile_gblk0, ids, T).reshape(R, T)
+            else:
+                nl = norm_lens[jnp.clip(doc, 0, num_docs - 1)]
+            k1, b = jnp.float32(BM25.k1), jnp.float32(BM25.b)
+            w = freq / (freq + k1 * (jnp.float32(1.0) - b + b * nl))
+        else:
+            w = jnp.where(doc < num_docs, 1.0, 0.0)
+        docs_blocks.append(doc.reshape(R * (T // BLOCK), BLOCK))
+        w_blocks.append(w.reshape(R * (T // BLOCK), BLOCK))
+    return jnp.concatenate(docs_blocks, axis=0), jnp.concatenate(w_blocks, axis=0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("groups", "groups_f", "num_docs", "pallas", "normcache"),
+)
+def _blockmax_step(
+    docs_words, freqs_words, tiles_docs, tiles_freqs, norm_lens,
+    gtile_ids, gtile_ids_f, blkperm, short_rows, groups, groups_f, num_docs,
+    pallas=0, normcache=0, nl_blocks=None, tile_gblk0=None,
+):
+    """One-time decode of EVERY tile -> per-32-block (max doc-term weight,
+    max docid), each (total_blocks,) in the part's group-major block
+    order. The metadata behind device-side WAND/MaxScore pruning: the
+    reference keeps only LIST-level maxes (wand_data.hpp:20-53) and uses
+    block maxes for docid skipping; here each block's score ceiling AND
+    docid range are materialized once so the host planner can skip whole
+    blocks with range-aware bounds (queries.hpp:200-319 wand, :478-591
+    maxscore semantics)."""
+    docs32, w32 = _decode_weight_blocks(
+        docs_words, freqs_words, tiles_docs, tiles_freqs, norm_lens,
+        gtile_ids, gtile_ids_f, blkperm, groups, groups_f, num_docs,
+        ranked=True, pallas=pallas, normcache=normcache,
+        nl_blocks=nl_blocks, tile_gblk0=tile_gblk0,
+    )
+    dmax = jnp.where(docs32 < num_docs, docs32, -1).max(axis=1)
+    # short lists additionally surface their raw (docid, weight) slots so
+    # the planner can do posting-exact overlap bounds for them (their
+    # blocks span wide docid ranges, making block-level bounds useless)
+    return w32.max(axis=1), dmax, docs32[short_rows], w32[short_rows]
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -193,79 +310,13 @@ def _resident_step(
     nl_blocks=None,  # RESIDENT f32[total_blocks, 32] (normcache mode)
     tile_gblk0=None,  # RESIDENT i32[Nt+1]: first cache row of each tile
 ):
-    ranked = ("or" in ops) or ("and" in ops)
-    if groups_f:
-        # SPLIT mode (block indexes): each stream decodes in its own
-        # group-major order; freq blocks realign to docs order by one
-        # contiguous block-row gather.
-        d_blocks, f_blocks, nl_rows = [], [], []
-        for off, R, st in groups:
-            ids = gtile_ids[off : off + R]
-            d_blocks.append(
-                _decode_doc_group_blocks(docs_words, tiles_docs[ids], st, R, num_docs, split=True)
-            )
-            if ranked and normcache:
-                nl_rows.append(_cached_norm_rows(nl_blocks, tile_gblk0, ids, st[-1]))
-        for off, R, st in groups_f:
-            ids = gtile_ids_f[off : off + R]
-            ff = tiles_freqs[ids]
-            T = st[-1]
-            j = jnp.arange(T, dtype=jnp.int32)[None, :]
-            valid = j < ff[:, F_NVALS][:, None]
-            fv = jnp.where(valid, _decode_block_stream(freqs_words, ff, st, R, False, num_docs), 0)
-            if T < BLOCK:
-                fv = jnp.pad(fv, ((0, 0), (0, BLOCK - T)))
-            f_blocks.append(fv.reshape(R * max(T // BLOCK, 1), BLOCK))
-        docs32 = jnp.concatenate(d_blocks, axis=0)
-        freq32 = jnp.take(jnp.concatenate(f_blocks, axis=0), blkperm, axis=0)
-        freq32 = freq32.astype(jnp.float32)
-        if ranked:
-            if normcache:
-                nl = jnp.concatenate(nl_rows, axis=0)
-            else:
-                nl = norm_lens[jnp.clip(docs32, 0, num_docs - 1)]
-            k1, b = jnp.float32(BM25.k1), jnp.float32(BM25.b)
-            w = freq32 / (freq32 + k1 * (jnp.float32(1.0) - b + b * nl))
-            w = jnp.where(docs32 < num_docs, w, 0.0)
-        else:
-            w = jnp.where(docs32 < num_docs, 1.0, 0.0)
-        w32 = w
-    else:
-        # PAIR mode (EF family): both streams share the group layout
-        docs_blocks, w_blocks = [], []
-        for off, R, st in groups:
-            kind, T = st[0], st[-1]
-            ids = gtile_ids[off : off + R]
-            df = tiles_docs[ids]
-            ff = tiles_freqs[ids]
-            j = jnp.arange(T, dtype=jnp.int32)[None, :]
-            valid = j < df[:, F_NVALS][:, None]
-            W, WL = st[1], st[2]
-            if pallas:
-                doc, freq_i = pallas_decode.decode_pair(
-                    docs_words, freqs_words, df, ff, W, WL, T, num_docs,
-                    interpret=(pallas == 2),
-                )
-                freq = freq_i.astype(jnp.float32)
-            else:
-                dv = _decode_group(docs_words, df, W, WL, T)  # (R, T)
-                fv = _decode_group(freqs_words, ff, W, WL, T)
-                doc = jnp.where(valid, dv, num_docs)
-                prev = jnp.concatenate([ff[:, F_PREV_CUM][:, None], fv[:, :-1]], axis=1)
-                freq = jnp.where(valid, fv - prev, 0).astype(jnp.float32)
-            if ranked:
-                if normcache:
-                    nl = _cached_norm_rows(nl_blocks, tile_gblk0, ids, T).reshape(R, T)
-                else:
-                    nl = norm_lens[jnp.clip(doc, 0, num_docs - 1)]
-                k1, b = jnp.float32(BM25.k1), jnp.float32(BM25.b)
-                w = freq / (freq + k1 * (jnp.float32(1.0) - b + b * nl))
-            else:
-                w = jnp.where(doc < num_docs, 1.0, 0.0)
-            docs_blocks.append(doc.reshape(R * (T // BLOCK), BLOCK))
-            w_blocks.append(w.reshape(R * (T // BLOCK), BLOCK))
-        docs32 = jnp.concatenate(docs_blocks, axis=0)
-        w32 = jnp.concatenate(w_blocks, axis=0)
+    docs32, w32 = _decode_weight_blocks(
+        docs_words, freqs_words, tiles_docs, tiles_freqs, norm_lens,
+        gtile_ids, gtile_ids_f, blkperm, groups, groups_f, num_docs,
+        ranked=("or" in ops) or ("and" in ops),
+        pallas=pallas, normcache=normcache, nl_blocks=nl_blocks,
+        tile_gblk0=tile_gblk0,
+    )
 
     out = []
     for bi, (Bb, L, nrows) in enumerate(buckets):
@@ -326,9 +377,12 @@ class ResidentEngine:
 
     MIN_L = 64
 
+    # bump when the resident table layout changes (invalidates caches)
+    CACHE_VERSION = 2
+
     def __init__(self, index, wdata=None, scorer=BM25, max_part_slots=1 << 21,
                  max_part_queries=16384, pallas=None, devices=None,
-                 query_dfs=None, term_remap=None):
+                 query_dfs=None, term_remap=None, cache_dir=None):
         # query_dfs: per-GLOBAL-term document frequencies for bm25 query
         # weights, overriding this index's own list lengths — a doc-range
         # shard must score with collection-level idf (parallel/doc_sharded).
@@ -344,6 +398,10 @@ class ResidentEngine:
         self.devices = list(devices) if devices else None
         self.query_dfs = None if query_dfs is None else np.asarray(query_dfs, dtype=np.int64)
         self.term_remap = None if term_remap is None else np.asarray(term_remap, dtype=np.int64)
+        import os as _os_c
+
+        self.cache_dir = cache_dir if cache_dir is not None else _os_c.environ.get("DS2I_ENGINE_CACHE")
+        self._cache_key = None  # computed lazily from index identity
 
         self.norm_lens = (
             jnp.asarray(wdata.norm_lens) if wdata is not None else jnp.ones(self.num_docs, jnp.float32)
@@ -362,11 +420,17 @@ class ResidentEngine:
             # kernel at these group shapes (see ops/pallas_decode.py)
             self._pallas_req = {"0": 0, "1": 1, "interpret": 2}.get(env, 0)
         self.pallas = self._pallas_req
+        import time as _time
+
+        self._init_times = {}
+        t0 = _time.time()
         num_lists = index.size()
         if hasattr(index, "docs_sequences"):
             t = self._init_ef(index)
         else:
             t = self._init_block(index)
+        self._init_times["tables_s"] = round(_time.time() - t0, 2)
+        t0 = _time.time()
         self.tiles = t
         nt = len(t.tile_list)
 
@@ -398,6 +462,8 @@ class ResidentEngine:
         else:
             self._replicas = None
 
+        self._init_times["upload_s"] = round(_time.time() - t0, 2)
+
         # host-side layout tables (shared across tile kinds)
         self.list_tile_start = t.list_tile_start
         self.list_tiles = np.diff(t.list_tile_start)
@@ -408,34 +474,336 @@ class ResidentEngine:
         self.list_blocks = np.zeros(num_lists, dtype=np.int64)
         np.add.at(self.list_blocks, t.tile_list, self.tile_blocks)
 
+    # -- derived-state persistence (queries.cpp:76-77 mmap-attach analogue) --
+    #
+    # Everything the engine derives from the index — tile tables, group
+    # statics, the norm cache, block-max pruning metadata — is a pure
+    # function of (index bytes, norm lens, CACHE_VERSION). With
+    # DS2I_ENGINE_CACHE=<dir> (or cache_dir=), each piece is frozen on
+    # first computation and re-attached on later engine starts, so a
+    # restart is load + upload instead of walk + decode-everything.
+
+    def _cache_id(self):
+        if self._cache_key is not None:
+            return self._cache_key
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=16)
+        h.update(f"v{self.CACHE_VERSION}".encode())
+        if self.split:
+            data = self.index.lists
+            h.update(np.asarray(data[: 1 << 20]).tobytes())
+            h.update(np.asarray(data[-(1 << 20):]).tobytes())
+            h.update(str((len(data), self.index.size(), self.num_docs)).encode())
+        else:
+            for coll in (self.index.docs_sequences, self.index.freqs_sequences):
+                w = np.asarray(coll.bits_bv.words)
+                h.update(w[: 1 << 17].tobytes())
+                h.update(w[-(1 << 17):].tobytes())
+                h.update(str((int(coll.bits_bv.nbits), coll.size())).encode())
+            h.update(str(self.num_docs).encode())
+        self._cache_key = h.hexdigest()
+        return self._cache_key
+
+    def _cache_path(self, part, with_norms=False):
+        if not self.cache_dir:
+            return None
+        import os as _os
+
+        key = self._cache_id()
+        if with_norms:
+            import hashlib
+
+            hn = hashlib.blake2b(digest_size=8)
+            hn.update(np.asarray(self.norm_lens).tobytes())
+            key = f"{key}_{hn.hexdigest()}"
+        _os.makedirs(self.cache_dir, exist_ok=True)
+        return _os.path.join(self.cache_dir, f"resident_{key}_{part}.npz")
+
+    def _cache_load(self, part, with_norms=False):
+        import os as _os
+
+        p = self._cache_path(part, with_norms)
+        if p is None or not _os.path.exists(p):
+            return None
+        try:
+            return np.load(p, allow_pickle=False)
+        except Exception:
+            return None
+
+    def _cache_save(self, part, with_norms=False, **arrays):
+        p = self._cache_path(part, with_norms)
+        if p is None:
+            return
+        import os as _os
+
+        tmp = p + f".tmp{_os.getpid()}.npz"
+        np.savez(tmp, **arrays)
+        _os.replace(tmp, p)
+
+    @staticmethod
+    def _statics_to_json(statics):
+        import json
+
+        return json.dumps([list(s) for s in statics])
+
+    @staticmethod
+    def _statics_from_json(s):
+        import json
+
+        return [tuple(x if isinstance(x, str) else int(x) for x in row)
+                for row in json.loads(str(s))]
+
     def _ensure_norm_cache(self):
         """Materialize the per-slot norm-length cache (one decode of every
         tile). Lazy: only ranked execution pays the init cost."""
         if self.nl_blocks is not None:
             return
-        nt = self.pad_tile
-        utidx = np.arange(nt, dtype=np.int64)
-        gid = self.tile_gid_d if self.split else self.tile_gid
-        stats = self.group_statics_d if self.split else self.group_statics
-        groups, gtile_ids, tblk, sent_blk, _ = self._order_groups(utidx, gid, stats)
-        g0 = np.full(nt + 1, sent_blk, dtype=_I32)
-        if nt:
-            g0[:nt] = tblk
-        self.tile_gblk0 = jnp.asarray(g0)
-        self.nl_blocks = _norm_cache_step(
-            self.docs_words, self.tiles_docs, self.norm_lens,
-            jnp.asarray(gtile_ids), groups=tuple(groups),
-            num_docs=self.num_docs, split=self.split,
-        )
+        cached = self._cache_load("norms", with_norms=True)
+        if cached is not None:
+            self.tile_gblk0 = jnp.asarray(cached["tile_gblk0"])
+            self.nl_blocks = jnp.asarray(cached["nl_blocks"])
+        else:
+            nt = self.pad_tile
+            utidx = np.arange(nt, dtype=np.int64)
+            gid = self.tile_gid_d if self.split else self.tile_gid
+            stats = self.group_statics_d if self.split else self.group_statics
+            groups, gtile_ids, tblk, sent_blk, _ = self._order_groups(utidx, gid, stats)
+            g0 = np.full(nt + 1, sent_blk, dtype=_I32)
+            if nt:
+                g0[:nt] = tblk
+            self.tile_gblk0 = jnp.asarray(g0)
+            self.nl_blocks = _norm_cache_step(
+                self.docs_words, self.tiles_docs, self.norm_lens,
+                jnp.asarray(gtile_ids), groups=tuple(groups),
+                num_docs=self.num_docs, split=self.split,
+            )
+            if self.cache_dir:
+                self._cache_save(
+                    "norms", with_norms=True,
+                    nl_blocks=np.asarray(self.nl_blocks),
+                    tile_gblk0=np.asarray(self.tile_gblk0),
+                )
         if self.devices:
             self._norm_replicas = [
                 (jax.device_put(self.nl_blocks, d), jax.device_put(self.tile_gblk0, d))
                 for d in self.devices
             ]
 
+    def _full_tile_orders(self):
+        """Group-major orderings (docs + freqs + blkperm) over ALL tiles —
+        the all-tiles analogue of _part_plan's layout, for init passes."""
+        nt = self.pad_tile
+        utidx = np.arange(nt, dtype=np.int64)
+        gid = self.tile_gid_d if self.split else self.tile_gid
+        stats = self.group_statics_d if self.split else self.group_statics
+        groups, gtile_ids, tblk, sent_blk, nb_d = self._order_groups(utidx, gid, stats)
+        if self.split:
+            groups_f, gtile_f, tblk_f, _, _ = self._order_groups(
+                utidx, self.tile_gid_f, self.group_statics_f
+            )
+            blkperm = np.full(nb_d, 0, dtype=_I32)
+            if nt:
+                bpt = self.tile_blocks[utidx]
+                tot_b = int(bpt.sum())
+                bex = np.cumsum(bpt) - bpt
+                blkperm[np.repeat(tblk - bex, bpt) + np.arange(tot_b, dtype=np.int64)] = (
+                    np.repeat(tblk_f - bex, bpt) + np.arange(tot_b, dtype=np.int64)
+                )
+        else:
+            groups_f, gtile_f, blkperm = (), np.zeros(1, _I32), np.zeros(1, _I32)
+        return groups, gtile_ids, tblk, sent_blk, groups_f, gtile_f, blkperm
+
+    # maximum k the pruning threshold tables support (per-list sorted
+    # block maxes are truncated here; larger k just disables pruning
+    # for that term)
+    PRUNE_KMAX = 128
+
+    def _ensure_blockmax(self):
+        """Materialize WAND/MaxScore pruning metadata (one decode of every
+        tile, lazy like the norm cache):
+          wmax_blk   f32[total_blocks]  per-32-block max doc-term weight,
+                                        global (tile-major) block order
+          list_wmax  f32[num_lists]     per-list max (reference wand_data's
+                                        max_term_weight, un-multiplied)
+          kth CSR    per-list block maxes sorted descending (<= PRUNE_KMAX):
+                     the j-th entry is an ACHIEVED doc-term weight of j
+                     distinct docs, so qw * vals[k-1] lower-bounds the true
+                     k-th best score of any query containing the term."""
+        if getattr(self, "wmax_blk", None) is not None:
+            return
+        cached = self._cache_load("blockmax", with_norms=True)
+        if cached is not None:
+            for name in ("wmax_blk", "dmax_blk", "gblk0", "tile_of_gblk",
+                         "list_gblk0", "list_wmax", "_kth_vals", "_kth_start",
+                         "rank_blk", "qbmax", "_blk_j0", "_blk_j1", "_blk_dlo",
+                         "is_short", "_short_keys", "_short_w"):
+                setattr(self, name, cached[name.lstrip("_")])
+            self.prune_q = int(cached["prune_q"])
+            self._short_stride = np.int64(cached["short_stride"])
+            return
+        if self.normcache:
+            self._ensure_norm_cache()
+        groups, gtile_ids, tblk, _, groups_f, gtile_f, blkperm = self._full_tile_orders()
+        normcache = self.normcache if self.nl_blocks is not None else 0
+
+        nt = self.pad_tile
+        tb = self.tile_blocks[:nt]
+        gblk0 = np.zeros(nt + 1, dtype=np.int64)
+        np.cumsum(tb, out=gblk0[1:])
+        total = int(gblk0[-1])
+        src = np.repeat(tblk, tb) + (np.arange(total, dtype=np.int64) - np.repeat(gblk0[:-1], tb))
+
+        # short lists get posting-exact planner metadata (their blocks span
+        # wide docid ranges); budget-capped so host memory stays bounded
+        num_lists = len(self.list_n)
+        short_max = 256
+        while short_max > 8 and int(self.list_n[self.list_n <= short_max].sum()) > (1 << 26):
+            short_max //= 2
+        self.is_short = self.list_n <= short_max
+        lgb0_all = gblk0[self.list_tile_start]
+        short_lists = np.nonzero(self.is_short)[0]
+        if len(short_lists):
+            s_nb = (lgb0_all[short_lists + 1] - lgb0_all[short_lists])
+            s_tot = int(s_nb.sum())
+            s_ex = np.cumsum(s_nb) - s_nb
+            short_gblks = np.repeat(lgb0_all[short_lists] - s_ex, s_nb) + np.arange(s_tot, dtype=np.int64)
+            short_rows = src[short_gblks]
+            short_list_of_blk = np.repeat(short_lists, s_nb)
+        else:
+            short_gblks = np.zeros(0, dtype=np.int64)
+            short_rows = np.zeros(0, dtype=np.int64)
+            short_list_of_blk = np.zeros(0, dtype=np.int64)
+
+        wmax_gm, dmax_gm, sdocs, sw = _blockmax_step(
+            self.docs_words, self.freqs_words, self.tiles_docs, self.tiles_freqs,
+            self.norm_lens, jnp.asarray(gtile_ids), jnp.asarray(gtile_f),
+            jnp.asarray(blkperm), jnp.asarray(short_rows.astype(np.int32)),
+            groups=tuple(groups), groups_f=tuple(groups_f),
+            num_docs=self.num_docs, pallas=self.pallas, normcache=normcache,
+            nl_blocks=self.nl_blocks if normcache else None,
+            tile_gblk0=self.tile_gblk0 if normcache else None,
+        )
+        wmax_gm, dmax_gm = np.asarray(wmax_gm), np.asarray(dmax_gm)
+        sdocs, sw = np.asarray(sdocs), np.asarray(sw)
+        self.wmax_blk = wmax_gm[src].astype(np.float32)
+        self.dmax_blk = dmax_gm[src].astype(np.int64)
+        self.gblk0 = gblk0
+        self.tile_of_gblk = np.repeat(np.arange(nt, dtype=np.int64), tb)
+
+        # short-list posting CSR keyed by list*stride+docid (globally sorted
+        # since blocks arrive list-major in docid order)
+        self._short_stride = np.int64(self.num_docs + 1)
+        if len(short_rows):
+            valid = sdocs < self.num_docs
+            lists_rep = np.repeat(short_list_of_blk, BLOCK).reshape(-1, BLOCK)
+            self._short_keys = (
+                lists_rep[valid].astype(np.int64) * self._short_stride + sdocs[valid]
+            )
+            self._short_w = sw[valid].astype(np.float32)
+        else:
+            self._short_keys = np.zeros(0, dtype=np.int64)
+            self._short_w = np.zeros(0, dtype=np.float32)
+
+        # per-list ranges in global block space (a list's tiles, hence its
+        # blocks, are contiguous)
+        lgb0 = gblk0[self.list_tile_start]  # (num_lists+1,)
+        self.list_gblk0 = lgb0
+        nl = len(lgb0) - 1
+        if total:
+            nblk_l = np.diff(lgb0)
+            list_of_blk = np.repeat(np.arange(nl, dtype=np.int64), nblk_l)
+            self.list_wmax = np.zeros(nl, dtype=np.float32)
+            ne = nblk_l > 0
+            if np.any(ne):
+                self.list_wmax[ne] = np.maximum.reduceat(
+                    self.wmax_blk, np.minimum(lgb0[:-1][ne], total - 1)
+                )
+            # per-list descending block maxes, truncated to PRUNE_KMAX
+            order = np.lexsort((-self.wmax_blk, list_of_blk))
+            rank = np.arange(total, dtype=np.int64) - lgb0[list_of_blk[order]]
+            keep = rank < self.PRUNE_KMAX
+            self._kth_vals = self.wmax_blk[order][keep]
+            kept_per_list = np.bincount(list_of_blk[order][keep], minlength=nl)
+            self._kth_start = np.zeros(nl + 1, dtype=np.int64)
+            np.cumsum(kept_per_list, out=self._kth_start[1:])
+            # rank of each block within its list (desc by wmax): drives the
+            # phase-1 probe directory (top-P blocks per term)
+            self.rank_blk = np.zeros(total, dtype=np.int64)
+            self.rank_blk[order] = rank
+
+            # docid-bucketed per-term maxima: qbmax[l, j] bounds any
+            # doc-term weight of list l within docid bucket j — the
+            # range-aware replacement for list-level maxes in the WAND
+            # upper bound (real block-max WAND exploits docid alignment;
+            # a docid-blind Σ lmax bound prunes almost nothing)
+            # resolution bounded by memory: nl * Q * 4B <= ~64MB
+            Q = 16
+            while Q < 256 and nl * Q * 2 * 4 <= (1 << 26):
+                Q *= 2
+            self.prune_q = Q
+            dlo = np.zeros(total, dtype=np.int64)
+            if total > 1:
+                dlo[1:] = self.dmax_blk[:-1] + 1
+            dlo[np.clip(lgb0[:-1], 0, total - 1)] = 0  # each list restarts at 0
+            nd = max(self.num_docs, 1)
+            j0 = np.clip(dlo * Q // nd, 0, Q - 1)
+            j1 = np.clip(self.dmax_blk * Q // nd, 0, Q - 1)
+            span = j1 - j0 + 1
+            tot_pairs = int(span.sum())
+            bidx = np.repeat(np.arange(total, dtype=np.int64), span)
+            joff = np.arange(tot_pairs, dtype=np.int64) - np.repeat(np.cumsum(span) - span, span)
+            flat = list_of_blk[bidx] * Q + j0[bidx] + joff
+            qb = np.zeros(nl * Q, dtype=np.float32)
+            np.maximum.at(qb, flat, self.wmax_blk[bidx])
+            self.qbmax = qb.reshape(nl, Q)
+            self._blk_j0 = j0
+            self._blk_j1 = j1
+            self._blk_dlo = dlo
+        else:
+            self.list_wmax = np.zeros(nl, dtype=np.float32)
+            self._kth_vals = np.zeros(0, dtype=np.float32)
+            self._kth_start = np.zeros(nl + 1, dtype=np.int64)
+            self.rank_blk = np.zeros(0, dtype=np.int64)
+            self.prune_q = 1
+            self.qbmax = np.zeros((nl, 1), dtype=np.float32)
+            self._blk_j0 = np.zeros(0, dtype=np.int64)
+            self._blk_j1 = np.zeros(0, dtype=np.int64)
+            self._blk_dlo = np.zeros(0, dtype=np.int64)
+
+        if self.cache_dir:
+            self._cache_save(
+                "blockmax", with_norms=True,
+                wmax_blk=self.wmax_blk, dmax_blk=self.dmax_blk,
+                gblk0=self.gblk0, tile_of_gblk=self.tile_of_gblk,
+                list_gblk0=self.list_gblk0, list_wmax=self.list_wmax,
+                kth_vals=self._kth_vals, kth_start=self._kth_start,
+                rank_blk=self.rank_blk, qbmax=self.qbmax,
+                blk_j0=self._blk_j0, blk_j1=self._blk_j1,
+                blk_dlo=self._blk_dlo, is_short=self.is_short,
+                short_keys=self._short_keys, short_w=self._short_w,
+                prune_q=np.int64(self.prune_q),
+                short_stride=np.int64(self._short_stride),
+            )
+
     def _init_ef(self, index):
         # EF-family tiles: group statics are ("ef", W, WL, T)
-        t = build_tile_tables(index)
+        self.split = False
+        cached = self._cache_load("tables")
+        if cached is not None:
+            t = TileTables(
+                docs=cached["docs"], freqs=cached["freqs"],
+                tile_list=cached["tile_list"],
+                list_tile_start=cached["list_tile_start"],
+                win_words=cached["win_words"], lb_words=cached["lb_words"],
+            )
+        else:
+            t = build_tile_tables(index)
+            self._cache_save(
+                "tables", docs=t.docs, freqs=t.freqs, tile_list=t.tile_list,
+                list_tile_start=t.list_tile_start, win_words=t.win_words,
+                lb_words=t.lb_words,
+            )
         nvals = t.docs[:, F_NVALS].astype(np.int64)
         ww = np.maximum(t.win_words, 1)
         wl = np.maximum(t.lb_words, 1)
@@ -452,11 +820,11 @@ class ResidentEngine:
         self._empty_statics = ("ef", 4, 4, TILE)
         self.split = False
         for coll_bv in (index.docs_sequences.bits_bv, index.freqs_sequences.bits_bv):
-            if coll_bv.nbits >= 2**31:
+            if coll_bv.nbits >= 2**36:
                 raise ValueError(
-                    "device engine limit: 256MB per resident stream (i32 bit "
-                    "cursors); shard larger indexes by doc range across "
-                    "devices with parallel.DocShardedEngine"
+                    "device engine limit: 8GB per resident stream (i32 WORD "
+                    "cursors in the tile tables); shard larger indexes by doc "
+                    "range across devices with parallel.DocShardedEngine"
                 )
         self.docs_words = jnp.asarray(index.docs_sequences.bits_bv.words.view(np.uint32))
         self.freqs_words = jnp.asarray(index.freqs_sequences.bits_bv.words.view(np.uint32))
@@ -467,18 +835,37 @@ class ResidentEngine:
         # ("opt", WSd, Ed, WSf, Ef, 128) or ("interp", Wd, Wf, NC)
         from .block_tiles import build_block_tables
 
-        t, slist_d, gid_d, slist_f, gid_f = build_block_tables(index)
+        self.split = True
+        cached = self._cache_load("tables")
+        if cached is not None:
+            t = TileTables(
+                docs=cached["docs"], freqs=cached["freqs"],
+                tile_list=cached["tile_list"],
+                list_tile_start=cached["list_tile_start"],
+                win_words=cached["win_words"], lb_words=cached["lb_words"],
+            )
+            slist_d = self._statics_from_json(cached["statics_d"])
+            slist_f = self._statics_from_json(cached["statics_f"])
+            gid_d, gid_f = cached["gid_d"], cached["gid_f"]
+        else:
+            t, slist_d, gid_d, slist_f, gid_f = build_block_tables(index)
+            self._cache_save(
+                "tables", docs=t.docs, freqs=t.freqs, tile_list=t.tile_list,
+                list_tile_start=t.list_tile_start, win_words=t.win_words,
+                lb_words=t.lb_words, gid_d=gid_d, gid_f=gid_f,
+                statics_d=np.array(self._statics_to_json(slist_d)),
+                statics_f=np.array(self._statics_to_json(slist_f)),
+            )
         self.group_statics_d = slist_d
         self.tile_gid_d = gid_d
         self.group_statics_f = slist_f
         self.tile_gid_f = gid_f
         self._empty_statics = ("interp", 4, BLOCK)
-        self.split = True
         data = np.asarray(index.lists, dtype=np.uint8)
-        assert len(data) * 8 < 2**31, (
-            "device block engine limit: 256MB per resident stream (i32 bit "
-            "cursors); shard larger indexes by doc range across devices "
-            "with parallel.DocShardedEngine"
+        assert len(data) < 2**33, (
+            "device block engine limit: 8GB per resident stream (i32 WORD "
+            "cursors in the tile tables); shard larger indexes by doc range "
+            "across devices with parallel.DocShardedEngine"
         )
         pad = (-len(data)) % 4
         words = np.concatenate([data, np.zeros(pad + 8, np.uint8)]).view("<u4")
@@ -562,31 +949,10 @@ class ResidentEngine:
         gtile_ids = np.concatenate(gids_parts)
         return tuple(groups), gtile_ids, tblk, sent_blk, gblk
 
-    def _part_plan(self, terms, qw, counts, k, ops, tmax, qids):
-        """Layout for one part: group-major unique-tile ids + per-bucket
-        block directories. All numpy, no device work."""
-        B = len(counts)
-
-        uterms, uinv = (
-            np.unique(terms, return_inverse=True) if len(terms) else
-            (np.zeros(0, np.int64), np.zeros(0, np.int64))
-        )
-
-        # --- unique-term tile expansion (CSR)
-        tstarts, tcounts = self._term_tiles(uterms)
-        ntiles = int(tcounts.sum())
-        if ntiles:
-            excl = np.cumsum(tcounts) - tcounts
-            utidx = np.repeat(tstarts - excl, tcounts) + np.arange(ntiles, dtype=np.int64)
-        else:
-            utidx = np.zeros(0, dtype=np.int64)
-
-        # --- group by decode class, group-major row ids (per stream when the
-        # index's codecs differ between docs and freqs: see _order_groups)
-        groups, gtile_ids, tblk, sent_blk, nb_d = self._order_groups(
-            utidx, self.tile_gid_d if self.split else self.tile_gid,
-            self.group_statics_d if self.split else self.group_statics,
-        )
+    def _split_layout(self, utidx, tblk, nb_d):
+        """Freqs-order groups + docs->freqs block permutation for split
+        (block-index) parts; trivial placeholders for pair mode."""
+        ntiles = len(utidx)
         if self.split:
             groups_f, gtile_f, tblk_f, sent_f, _ = self._order_groups(
                 utidx, self.tile_gid_f, self.group_statics_f
@@ -603,49 +969,210 @@ class ResidentEngine:
             groups_f = ()
             gtile_f = np.zeros(1, dtype=_I32)
             blkperm = np.zeros(1, dtype=_I32)
+        return groups_f, gtile_f, blkperm
 
-        # --- per-unique-term block lists (group-major block ids, tile order)
-        nbt = self.tile_blocks[utidx]  # blocks of each utile
-        tot_blk = int(nbt.sum())
-        if tot_blk:
-            bexcl = np.cumsum(nbt) - nbt
-            # block b of utile i -> tblk[i] + b
-            ublocks = (
-                np.repeat(tblk - bexcl, nbt) + np.arange(tot_blk, dtype=np.int64)
-            )
+    def _pruned_directory(self, terms, qw, counts, k, span_row,
+                          theta_override=None, probe_rank=None):
+        """Block-max pruned flat directory (device WAND/MaxScore,
+        queries.hpp:200-319/:478-591 semantics, batched):
+
+        theta[row] = max over terms of qw * (k-th largest block max) — an
+        ACHIEVED lower bound on the true k-th best score (each block max
+        is a real doc's doc-term weight; distinct blocks, distinct docs).
+        An entry (query, term t, block b) is dropped when
+            ub = qw_t*bmax(t,b) + sum_{t' != t} qw_t'*lmax(t') < theta:
+        every doc in b then has true score < theta <= true k-th score, so
+        it cannot enter the top-k; docs that CAN enter keep every block
+        of every their term (their ub >= their true score >= theta), so
+        their join-assembled scores stay exact. Skipped-entry docs may
+        score partially, but partial <= true < theta keeps them out.
+        Returns (gblk_kept, span_kept, row_of_blk, row_nb) in global
+        block ids, row-major order."""
+        B = len(counts)
+        t = np.clip(terms, 0, None)
+        missing = terms < 0
+        span_nb = np.where(missing, 0, self.list_blocks[t])
+
+        tot = int(span_nb.sum())
+        if not tot:
+            z = np.zeros(0, np.int64)
+            return z, z, z, np.zeros(B, np.int64)
+        bexcl = np.cumsum(span_nb) - span_nb
+        span_of_blk = np.repeat(np.arange(len(span_nb)), span_nb)
+        gblk_flat = (
+            np.repeat(self.list_gblk0[t] - bexcl, span_nb) + np.arange(tot, dtype=np.int64)
+        )
+
+        if probe_rank is not None:
+            # phase-1 probe: each term's top probe_rank blocks by block max
+            keep = self.rank_blk[gblk_flat] < probe_rank
         else:
-            ublocks = np.zeros(0, dtype=np.int64)
-        # CSR over unique terms (utidx is unique-major, so ublocks is too)
-        unb = self._term_blocks(uterms)
-        ustart = np.concatenate([[0], np.cumsum(unb)])
+            # static theta: k-th largest block max per term (CSR; -inf when
+            # the term has fewer than k blocks or k exceeds the table)
+            kstart = self._kth_start[t]
+            kn = self._kth_start[t + 1] - kstart
+            ok = (~missing) & (kn >= k) & (k <= self.PRUNE_KMAX)
+            kth = np.where(ok, self._kth_vals[np.where(ok, kstart + k - 1, 0)], -np.inf)
+            theta_s = np.where(ok, qw.astype(np.float64) * kth, -np.inf)
+            theta = np.full(B, -np.inf)
+            np.maximum.at(theta, span_row, theta_s)
+            if theta_override is not None:
+                # phase-1 probe scores are true partial scores of real docs,
+                # so their k-th best is a valid (usually far tighter) bound
+                theta = np.maximum(theta, theta_override)
 
-        # --- per-query block directory
-        span_nb = unb[uinv] if len(terms) else np.zeros(0, np.int64)
-        row_nb = np.zeros(B, dtype=np.int64)
+            # range-aware rest bound: entry e (span s0, docid buckets
+            # [j0,j1]) takes, for every OTHER span s of its row,
+            # qw_s * max(qbmax[t_s, j0..j1]) — other terms can only add
+            # score where their docids overlap this block's range
+            rowe = span_row[span_of_blk]
+            sexcl = np.cumsum(counts) - counts
+            cnt_e = counts[rowe]
+            P = int(cnt_e.sum())
+            ent_of_pair = np.repeat(np.arange(tot, dtype=np.int64), cnt_e)
+            pexcl = np.cumsum(cnt_e) - cnt_e
+            s_pair = sexcl[rowe][ent_of_pair] + (np.arange(P, dtype=np.int64) - pexcl[ent_of_pair])
+            ts_pair = t[s_pair]
+            j0p = self._blk_j0[gblk_flat][ent_of_pair]
+            j1p = self._blk_j1[gblk_flat][ent_of_pair]
+            v = np.maximum(self.qbmax[ts_pair, j0p], self.qbmax[ts_pair, j1p])
+            wide = (j1p - j0p) > 1
+            if np.any(wide):
+                v[wide] = self.list_wmax[ts_pair[wide]]  # safe fallback
+            # short other-terms: posting-exact overlap against the entry's
+            # docid range (their wide blocks make bucket bounds useless)
+            sp = self.is_short[ts_pair] & ~missing[s_pair]
+            if np.any(sp):
+                dlo_p = self._blk_dlo[gblk_flat][ent_of_pair][sp]
+                dhi_p = self.dmax_blk[gblk_flat][ent_of_pair][sp]
+                base = ts_pair[sp] * self._short_stride
+                lo = np.searchsorted(self._short_keys, base + dlo_p)
+                hi = np.searchsorted(self._short_keys, base + dhi_p + 1)
+                cnt = hi - lo
+                vs = np.where(
+                    cnt == 0, np.float32(0.0),
+                    np.where(
+                        cnt == 1,
+                        self._short_w[np.clip(lo, 0, max(len(self._short_w) - 1, 0))],
+                        self.list_wmax[ts_pair[sp]],
+                    ),
+                )
+                v[sp] = vs
+            v = np.where(missing[s_pair], 0.0, v)
+            own = s_pair == span_of_blk[ent_of_pair]
+            contrib = np.where(own, 0.0, qw[s_pair].astype(np.float64) * v)
+            rest_ub = np.add.reduceat(contrib, pexcl) if P else np.zeros(tot)
+
+            ub = rest_ub + qw.astype(np.float64)[span_of_blk] * self.wmax_blk[gblk_flat]
+            # 1e-4 relative margin absorbs f32 accumulation-order noise on
+            # both sides (the parity tolerance itself is 0.1% relative,
+            # test_ranked_queries.cpp:52)
+            th = theta[span_row[span_of_blk]]
+            keep = ~(ub < th - np.abs(th) * 1e-4)
+
+        gblk_kept = gblk_flat[keep]
+        span_kept = span_of_blk[keep]
+        row_of_blk = span_row[span_kept]
+        row_nb = np.bincount(row_of_blk, minlength=B).astype(np.int64)
+        return gblk_kept, span_kept, row_of_blk, row_nb
+
+    def _part_plan(self, terms, qw, counts, k, ops, tmax, qids, prune=False,
+                   theta=None, probe_rank=None):
+        """Layout for one part: group-major unique-tile ids + per-bucket
+        block directories. All numpy, no device work (the pruning tables
+        are precomputed device results held on host)."""
+        B = len(counts)
         span_row = np.repeat(np.arange(B), counts)
-        np.add.at(row_nb, span_row, span_nb)
+        sexcl = np.cumsum(counts) - counts
+        slot_of_span = np.arange(len(terms), dtype=np.int64) - sexcl[span_row]
+
+        if prune:
+            # --- block-max pruned path: filter (query, block) entries by
+            # score upper bound FIRST, then decode only surviving tiles
+            gblk_kept, span_kept, row_of_blk, row_nb = self._pruned_directory(
+                terms, qw, counts, k, span_row,
+                theta_override=theta, probe_rank=probe_rank,
+            )
+            tot = len(gblk_kept)
+            tiles_kept = self.tile_of_gblk[gblk_kept] if tot else np.zeros(0, np.int64)
+            utidx = np.unique(tiles_kept)
+            groups, gtile_ids, tblk, sent_blk, nb_d = self._order_groups(
+                utidx, self.tile_gid_d if self.split else self.tile_gid,
+                self.group_statics_d if self.split else self.group_statics,
+            )
+            groups_f, gtile_f, blkperm = self._split_layout(utidx, tblk, nb_d)
+            if tot:
+                pos = np.searchsorted(utidx, tiles_kept)
+                local_blk = tblk[pos] + (gblk_kept - self.gblk0[tiles_kept])
+                dir_flat = (local_blk << 5) | slot_of_span[span_kept]
+                rexcl = np.zeros(B + 1, dtype=np.int64)
+                rexcl[1:] = np.cumsum(row_nb)
+                col_of_blk = np.arange(tot, dtype=np.int64) - rexcl[row_of_blk]
+            else:
+                dir_flat = col_of_blk = np.zeros(0, np.int64)
+        else:
+            uterms, uinv = (
+                np.unique(terms, return_inverse=True) if len(terms) else
+                (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            )
+
+            # --- unique-term tile expansion (CSR)
+            tstarts, tcounts = self._term_tiles(uterms)
+            ntiles = int(tcounts.sum())
+            if ntiles:
+                excl = np.cumsum(tcounts) - tcounts
+                utidx = np.repeat(tstarts - excl, tcounts) + np.arange(ntiles, dtype=np.int64)
+            else:
+                utidx = np.zeros(0, dtype=np.int64)
+
+            # --- group by decode class, group-major row ids (per stream when
+            # the index's codecs differ between docs and freqs)
+            groups, gtile_ids, tblk, sent_blk, nb_d = self._order_groups(
+                utidx, self.tile_gid_d if self.split else self.tile_gid,
+                self.group_statics_d if self.split else self.group_statics,
+            )
+            groups_f, gtile_f, blkperm = self._split_layout(utidx, tblk, nb_d)
+
+            # --- per-unique-term block lists (group-major block ids)
+            nbt = self.tile_blocks[utidx]  # blocks of each utile
+            tot_blk = int(nbt.sum())
+            if tot_blk:
+                bexcl = np.cumsum(nbt) - nbt
+                # block b of utile i -> tblk[i] + b
+                ublocks = (
+                    np.repeat(tblk - bexcl, nbt) + np.arange(tot_blk, dtype=np.int64)
+                )
+            else:
+                ublocks = np.zeros(0, dtype=np.int64)
+            # CSR over unique terms (utidx is unique-major, so ublocks is too)
+            unb = self._term_blocks(uterms)
+            ustart = np.concatenate([[0], np.cumsum(unb)])
+
+            # --- per-query block directory
+            span_nb = unb[uinv] if len(terms) else np.zeros(0, np.int64)
+            row_nb = np.zeros(B, dtype=np.int64)
+            np.add.at(row_nb, span_row, span_nb)
+
+            # expand each span's blocks, query-major
+            tot = int(span_nb.sum())
+            if tot:
+                bexcl2 = np.cumsum(span_nb) - span_nb
+                span_of_blk = np.repeat(np.arange(len(span_nb)), span_nb)
+                blk_flat = ublocks[
+                    np.repeat(ustart[uinv] - bexcl2, span_nb) + np.arange(tot, dtype=np.int64)
+                ]
+                dir_flat = (blk_flat << 5) | slot_of_span[span_of_blk]
+                row_of_blk = span_row[span_of_blk]
+                # column of each block within its row
+                rexcl = np.zeros(B + 1, dtype=np.int64)
+                rexcl[1:] = np.cumsum(row_nb)
+                col_of_blk = np.arange(tot, dtype=np.int64) - rexcl[row_of_blk]
+            else:
+                dir_flat = row_of_blk = col_of_blk = np.zeros(0, np.int64)
+
         min_l = max(self.MIN_L, _pow2_at_least(k))
         Lrow = np.maximum(row_nb * BLOCK, 1)
         Lb = (2 ** np.ceil(np.log2(np.maximum(Lrow, min_l)))).astype(np.int64)
-
-        # expand each span's blocks, query-major
-        tot = int(span_nb.sum())
-        sexcl = np.cumsum(counts) - counts  # span slot within row
-        slot_of_span = np.arange(len(span_nb), dtype=np.int64) - sexcl[span_row]
-        if tot:
-            bexcl2 = np.cumsum(span_nb) - span_nb
-            span_of_blk = np.repeat(np.arange(len(span_nb)), span_nb)
-            blk_flat = ublocks[
-                np.repeat(ustart[uinv] - bexcl2, span_nb) + np.arange(tot, dtype=np.int64)
-            ]
-            dir_flat = (blk_flat << 5) | slot_of_span[span_of_blk]
-            row_of_blk = span_row[span_of_blk]
-            # column of each block within its row
-            rexcl = np.zeros(B + 1, dtype=np.int64)
-            rexcl[1:] = np.cumsum(row_nb)
-            col_of_blk = np.arange(tot, dtype=np.int64) - rexcl[row_of_blk]
-        else:
-            dir_flat = row_of_blk = col_of_blk = np.zeros(0, np.int64)
 
         # --- bucket the queries by Lb
         plan_buckets = []
@@ -712,9 +1239,16 @@ class ResidentEngine:
             "tmax": tmax,
         }
 
-    def prepare(self, queries, k=10, ops=("or", "and"), ranked=True):
+    def prepare(self, queries, k=10, ops=("or", "and"), ranked=True, prune=False):
         """Parse + lay out the batch (host only). The returned plan is the
-        analogue of queries.cpp's pre-parsed query vector."""
+        analogue of queries.cpp's pre-parsed query vector. prune=True
+        applies block-max skipping (valid only for top-k OR semantics —
+        the WAND/MaxScore result contract); it triggers the one-time
+        block-max metadata pass on first use."""
+        if prune and (tuple(ops) != ("or",) or not ranked):
+            raise ValueError("prune requires ranked ops=('or',) (WAND/MaxScore semantics)")
+        if prune:
+            self._ensure_blockmax()
         terms, qw, counts = self._prep_terms(queries, ranked)
         qend = np.cumsum(counts)
         qstart = qend - counts
@@ -741,6 +1275,37 @@ class ResidentEngine:
             cur_slots += qslots[qi]
         parts.append((cur0, len(queries)))
 
+        probe_theta = None
+        if prune:
+            import os as _os
+
+            if _os.environ.get("DS2I_WAND_PROBE") != "0":
+                # phase 1: score only each term's top-P blocks (by block
+                # max). The resulting per-query k-th best score is a TRUE
+                # achieved partial score — a valid, much tighter threshold
+                # than the static single-term bound, because it captures
+                # multi-term score interactions.
+                probe_rank = max(2, -(-2 * k // BLOCK))
+                probe_plans = []
+                for q0, q1 in parts:
+                    if q1 <= q0:
+                        continue
+                    s0, s1 = qstart[q0], qend[q1 - 1]
+                    pp = self._part_plan(
+                        terms[s0:s1], qw[s0:s1], counts[q0:q1], k, ("or",), tmax,
+                        qids=np.arange(q0, q1), prune=True, probe_rank=probe_rank,
+                    )
+                    pp["fscale"] = None  # thresholds need f32 downloads
+                    probe_plans.append(pp)
+                pplan = {"plans": probe_plans, "n": len(queries), "k": k, "ops": ("or",)}
+                pres = self.collect(pplan, self.dispatch(pplan))
+                probe_theta = np.full(len(queries), -np.inf)
+                for qi, r in enumerate(pres):
+                    s = np.asarray(r[2])
+                    fin = s[np.isfinite(s)]
+                    if len(fin) >= k:
+                        probe_theta[qi] = float(fin[k - 1])
+
         plans = []
         for q0, q1 in parts:
             if q1 <= q0:
@@ -749,7 +1314,8 @@ class ResidentEngine:
             plans.append(
                 self._part_plan(
                     terms[s0:s1], qw[s0:s1], counts[q0:q1], k, tuple(ops), tmax,
-                    qids=np.arange(q0, q1),
+                    qids=np.arange(q0, q1), prune=prune,
+                    theta=probe_theta[q0:q1] if probe_theta is not None else None,
                 )
             )
         return {"plans": plans, "n": len(queries), "k": k, "ops": tuple(ops)}
@@ -899,8 +1465,8 @@ class ResidentEngine:
             )
         return results
 
-    def run(self, queries, k=10, ops=("or", "and"), ranked=True):
-        return self.execute(self.prepare(queries, k=k, ops=ops, ranked=ranked))
+    def run(self, queries, k=10, ops=("or", "and"), ranked=True, prune=False):
+        return self.execute(self.prepare(queries, k=k, ops=ops, ranked=ranked, prune=prune))
 
     # -- public ops (API-compatible with TileQueryEngine) ----------------------
 
@@ -919,5 +1485,13 @@ class ResidentEngine:
     def ranked_and(self, queries, k=10):
         return [self._topk_list(r[3]) for r in self.run(queries, k=k, ops=("and",))]
 
-    wand = ranked_or
-    maxscore = ranked_or
+    def wand(self, queries, k=10):
+        """Top-k OR with device block-max pruning (wand_query semantics,
+        queries.hpp:200-319): results equal ranked_or's top-k exactly;
+        blocks provably below the per-query threshold are skipped before
+        decode, shrinking both the decode set and the join width."""
+        return [self._topk_list(r[2]) for r in self.run(queries, k=k, ops=("or",), prune=True)]
+
+    # maxscore_query (queries.hpp:478-591) has identical results; the
+    # batched pruning covers both cursor strategies
+    maxscore = wand

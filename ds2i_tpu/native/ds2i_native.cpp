@@ -893,8 +893,10 @@ constexpr uint32_t UNKNOWN_SUM = 0xFFFFFFFFu;
 constexpr int TILE128 = 128;
 // field columns (engine/tiles.py N_FIELDS layout + block_tiles.py reuse)
 constexpr int NF = 11;
-constexpr int F_KIND = 0, BF_BIT0 = 1, BF_B = 2, BF_NEX = 3, BF_EX0 = 4,
-              F_BASE = 8, F_NVALS = 9;
+// cursors stored as (word index, bit-in-word): i32 word indexing
+// addresses streams up to 8GB (block_tiles.py layout)
+constexpr int F_KIND = 0, BF_W0 = 1, BF_B = 2, BF_NEX = 3, BF_EX_W0 = 4,
+              BF_BOFF = 5, BF_EX_BOFF = 6, F_BASE = 8, F_NVALS = 9;
 constexpr int KIND_OPT = 8, KIND_INTERP = 9, KIND_VAR = 10, KIND_QMX = 11;
 
 inline int bucket(long v, const int* t, int n) {
@@ -987,8 +989,9 @@ inline long interp_stream(const uint8_t* d, long pos, int cur, uint32_t known_su
         end = q + (br.pos + 7) / 8;
     }
     row[F_KIND] = KIND_INTERP;
-    row[BF_BIT0] = (int32_t)(q * 8);
-    row[BF_EX0] = (int32_t)s;
+    row[BF_W0] = (int32_t)(q >> 2);
+    row[BF_BOFF] = (int32_t)((q & 3) * 8);
+    row[BF_EX_W0] = (int32_t)s;
     row[F_NVALS] = cur;
     long bits = (end - q) * 8;
     kind = KIND_INTERP;
@@ -1005,10 +1008,12 @@ inline long opt_stream(const uint8_t* d, long pos, int cur, int32_t* row,
     long ex_pos = pos + 2 + 4 * sw;
     int ew = nex ? s16_words(d, ex_pos, 2 * nex) : 0;
     row[F_KIND] = KIND_OPT;
-    row[BF_BIT0] = (int32_t)((pos + 2) * 8);
+    row[BF_W0] = (int32_t)((pos + 2) >> 2);
+    row[BF_BOFF] = (int32_t)(((pos + 2) & 3) * 8);
     row[BF_B] = b;
     row[BF_NEX] = nex;
-    row[BF_EX0] = (int32_t)(ex_pos * 8);
+    row[BF_EX_W0] = (int32_t)(ex_pos >> 2);
+    row[BF_EX_BOFF] = (int32_t)((ex_pos & 3) * 8);
     row[F_NVALS] = cur;
     kind = KIND_OPT;
     p1 = b;  // exact width (static-width kernel path)
@@ -1024,7 +1029,8 @@ inline long var_stream(const uint8_t* d, long pos, int cur, int32_t* row,
         g++;
     }
     row[F_KIND] = KIND_VAR;
-    row[BF_BIT0] = (int32_t)pos;  // BYTE offset
+    row[BF_W0] = (int32_t)(pos >> 2);
+    row[BF_BOFF] = (int32_t)((pos & 3) * 8);
     row[BF_B] = g;
     row[F_NVALS] = cur;
     kind = KIND_VAR;
@@ -1051,10 +1057,12 @@ inline long qmx_stream(const uint8_t* d, long pos, int cur, int32_t* row,
         in += (long)batch * blockenc::qmx::adv_of_type(t);
     }
     row[F_KIND] = KIND_QMX;
-    row[BF_BIT0] = (int32_t)(q * 8);
+    row[BF_W0] = (int32_t)(q >> 2);
+    row[BF_BOFF] = (int32_t)((q & 3) * 8);
     row[BF_B] = (int32_t)ninst;
     row[BF_NEX] = (int32_t)ns;
-    row[BF_EX0] = (int32_t)(q + (long)elen - 1);  // LAST selector byte
+    row[BF_EX_W0] = (int32_t)((q + (long)elen - 1) >> 2);  // LAST selector byte
+    row[BF_EX_BOFF] = (int32_t)((q + (long)elen - 1) & 3);
     row[F_NVALS] = cur;
     kind = KIND_QMX;
     p1 = bucket(ninst, NW_BUCKETS, 3);

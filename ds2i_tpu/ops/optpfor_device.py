@@ -42,39 +42,44 @@ for mode in S16_MODES:
     _MODE_SHIFTS.append(shifts)
 
 
-def _extract_u32s(words, bit0, count):
-    """(R, count) consecutive 32-bit fields starting at per-row bit0."""
+def _extract_u32s(words, w0, boff, count):
+    """(R, count) consecutive 32-bit fields starting at per-row word w0,
+    bit boff (< 32). Word-based addressing keeps streams beyond 2^31 bits
+    (256MB) addressable with i32 indices (up to 8GB)."""
     nw = words.shape[0]
-    widx = (bit0 >> 5)[:, None] + jnp.arange(count + 1, dtype=jnp.int32)[None, :]
+    widx = w0[:, None] + jnp.arange(count + 1, dtype=jnp.int32)[None, :]
     w = words[jnp.clip(widx, 0, nw - 1)]
-    s = (bit0 & 31)[:, None].astype(_U32)
+    s = boff[:, None].astype(_U32)
     lo = w[:, :count] >> s
     hi = jnp.where(s > 0, w[:, 1:] << (_U32(32) - s), _U32(0))
     return lo | hi
 
 
 @partial(jax.jit, static_argnames=("WS", "E", "T", "b_static"))
-def optpfor_decode(words, slot_bit0, b, n_ex, ex_bit0, WS, E, T=128, b_static=None):
+def optpfor_decode(words, slot_w0, slot_boff, b, n_ex, ex_w0, ex_boff, WS, E,
+                   T=128, b_static=None):
     """Decode one group of full OptPFor blocks.
 
-    words: u32[] device stream; slot_bit0/b/n_ex/ex_bit0: (R,) i32
+    words: u32[] device stream; slot_w0/slot_boff: (R,) i32 word index +
+    bit-in-word of the slot section (word-based so multi-GB streams fit
+    i32); b/n_ex: (R,) i32; ex_w0/ex_boff: exception stream cursor.
     WS: static slot-window words (>= ceil((31 + T*b)/32));
     E: static exception capacity (>= max n_ex in group)
     b_static: when the whole group shares one bit width, every slot's
-    word/shift becomes STATIC after realigning the window by
-    (slot_bit0 & 31) — no per-slot word-select reduction at all.
+    word/shift becomes STATIC after realigning the window by slot_boff —
+    no per-slot word-select reduction at all.
     Returns (R, T) int32 raw slot values (gaps for docs, freq-1 for freqs).
     """
-    R = slot_bit0.shape[0]
+    R = slot_w0.shape[0]
     nw = words.shape[0]
     j = jnp.arange(T, dtype=jnp.int32)[None, :]
 
-    widx = (slot_bit0 >> 5)[:, None] + jnp.arange(WS + 1, dtype=jnp.int32)[None, :]
+    widx = slot_w0[:, None] + jnp.arange(WS + 1, dtype=jnp.int32)[None, :]
     win = words[jnp.clip(widx, 0, nw - 1)]  # (R, WS+1)
 
     if b_static is not None:
         bs = min(b_static, 32)
-        s0 = (slot_bit0 & 31)[:, None].astype(_U32)
+        s0 = slot_boff[:, None].astype(_U32)
         nxt = jnp.concatenate([win[:, 1:], jnp.zeros((R, 1), _U32)], axis=1)
         aligned = (win >> s0) | jnp.where(s0 > 0, nxt << (_U32(32) - s0), _U32(0))
         if bs == 0:
@@ -95,7 +100,7 @@ def optpfor_decode(words, slot_bit0, b, n_ex, ex_bit0, WS, E, T=128, b_static=No
     else:
         # per-row dynamic width: comparison-reduce word select
         bclip = jnp.minimum(b, 32)
-        bitoff = (slot_bit0 & 31)[:, None] + j * bclip[:, None]
+        bitoff = slot_boff[:, None] + j * bclip[:, None]
         w0i = jnp.clip(bitoff >> 5, 0, WS)
         s = (bitoff & 31).astype(_U32)
         cols = jnp.arange(WS + 1, dtype=jnp.int32)[None, None, :]
@@ -110,7 +115,7 @@ def optpfor_decode(words, slot_bit0, b, n_ex, ex_bit0, WS, E, T=128, b_static=No
 
     if E > 0:
         K = 2 * E
-        xw = _extract_u32s(words, ex_bit0, K)  # at most one s16 word per value
+        xw = _extract_u32s(words, ex_w0, ex_boff, K)  # <= one s16 word per value
         sel = (xw >> _U32(28)).astype(jnp.int32)
         payload = xw & _U32(0x0FFFFFFF)
 

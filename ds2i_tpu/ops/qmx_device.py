@@ -35,10 +35,11 @@ _ADV = jnp.asarray(ADV_OF_TYPE, dtype=jnp.int32)
 _TAB = jnp.asarray(LANE_TABLE, dtype=jnp.int32)  # (15, 256, 4)
 
 
-def _extract(words, bitoff, width):
-    """Gather `width` bits at absolute bit offset from the u32 stream."""
+def _extract(words, w_base, bitoff, width):
+    """Gather `width` bits at (word base + relative bit offset) from the
+    u32 stream. Word-based addressing keeps multi-GB streams in i32."""
     nw = words.shape[0]
-    w0i = bitoff >> 5
+    w0i = w_base + (bitoff >> 5)
     s = (bitoff & 31).astype(_U32)
     w0 = words[jnp.clip(w0i, 0, nw - 1)]
     w1 = words[jnp.clip(w0i + 1, 0, nw - 1)]
@@ -51,21 +52,21 @@ def _extract(words, bitoff, width):
 
 
 @partial(jax.jit, static_argnames=("NI", "S", "T"))
-def qmx_decode(words, pay_bit0, ninst, sel_last, nsel, NI, S, T=128):
+def qmx_decode(words, pay_w0, pay_boff, ninst, sel_w0, sel_b, nsel, NI, S, T=128):
     """Decode one group of full QMX blocks.
 
-    words: u32[] stream; pay_bit0 (R,): payload start (bits, after the
-    vbyte length); ninst (R,): payload instances; sel_last (R,): byte
-    position of the LAST stream byte (= first selector in walk order);
-    nsel (R,): selector count. NI/S: static capacities (max 32 each).
-    Returns (R, T) int32 values."""
-    R = pay_bit0.shape[0]
+    words: u32[] stream; pay_w0/pay_boff (R,): payload start word +
+    bit-in-word (after the vbyte length); ninst (R,): payload instances;
+    sel_w0/sel_b (R,): word + byte-in-word of the LAST stream byte
+    (= first selector in walk order); nsel (R,): selector count.
+    NI/S: static capacities (max 32 each). Returns (R, T) int32 values."""
+    R = pay_w0.shape[0]
     nw_stream = words.shape[0]
 
     # --- selector bytes, walking backwards from sel_last (forward order)
-    bpos = sel_last[:, None] - jnp.arange(S, dtype=jnp.int32)[None, :]  # (R,S)
-    wsel = words[jnp.clip(bpos >> 2, 0, nw_stream - 1)]
-    sel = ((wsel >> ((bpos & 3) * 8).astype(_U32)) & _U32(0xFF)).astype(jnp.int32)
+    bk = sel_b[:, None] - jnp.arange(S, dtype=jnp.int32)[None, :]  # (R, S)
+    wsel = words[jnp.clip(sel_w0[:, None] + (bk >> 2), 0, nw_stream - 1)]
+    sel = ((wsel >> ((bk & 3) * 8).astype(_U32)) & _U32(0xFF)).astype(jnp.int32)
     svalid = jnp.arange(S, dtype=jnp.int32)[None, :] < nsel[:, None]
     t_s = jnp.where(svalid, sel >> 4, 0)
     batch_s = jnp.where(svalid, 16 - (sel & 15), 0)
@@ -95,8 +96,9 @@ def qmx_decode(words, pay_bit0, ninst, sel_last, nsel, NI, S, T=128):
     # --- LANE_TABLE extraction
     lane = _TAB[t_v, j]  # (R, T, 4)
     ba, wa, bb, wb = lane[..., 0], lane[..., 1], lane[..., 2], lane[..., 3]
-    base_bits = pay_bit0[:, None] + p_v * 8
-    a = _extract(words, base_bits + ba, wa)
-    b = jnp.where(wb > 0, _extract(words, base_bits + bb, wb), _U32(0))
+    base_bits = pay_boff[:, None] + p_v * 8  # relative to pay_w0 (< 2^31)
+    wbase = pay_w0[:, None]
+    a = _extract(words, wbase, base_bits + ba, wa)
+    b = jnp.where(wb > 0, _extract(words, wbase, base_bits + bb, wb), _U32(0))
     val = a | (b << jnp.clip(wa, 0, 31).astype(_U32))
     return jnp.where(t_v == 0, 1, val.astype(jnp.int32))

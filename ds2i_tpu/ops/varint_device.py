@@ -21,26 +21,26 @@ _U32 = jnp.uint32
 
 
 @partial(jax.jit, static_argnames=("G", "T"))
-def varint_decode(words, byte0, ngroups, G, T=128):
+def varint_decode(words, w0, boff, ngroups, G, T=128):
     """Decode one group of full varint-G8IU blocks.
 
-    words: u32[] stream; byte0 (R,): byte offset of each block's first
-    group; ngroups (R,): 9-byte groups in the block; G: static max groups.
+    words: u32[] stream; w0/boff (R,): word index + bit-in-word of each
+    block's first group (word-based so multi-GB streams fit i32);
+    ngroups (R,): 9-byte groups in the block; G: static max groups.
     Returns (R, T) int32 values.
     """
     nw = words.shape[0]
     WB = (G * 9 + 7) // 4 + 2
-    bit0 = byte0 * 8
-    widx = (bit0 >> 5)[:, None] + jnp.arange(WB, dtype=jnp.int32)[None, :]
+    widx = w0[:, None] + jnp.arange(WB, dtype=jnp.int32)[None, :]
     win = words[jnp.clip(widx, 0, nw - 1)]  # (R, WB)
-    s = (bit0 & 31)[:, None].astype(_U32)
+    s = boff[:, None].astype(_U32)
     nxt = jnp.concatenate([win[:, 1:], jnp.zeros((win.shape[0], 1), _U32)], axis=1)
     aligned = (win >> s) | jnp.where(s > 0, nxt << (_U32(32) - s), _U32(0))
 
     def byte_at(k):  # static byte index k within the block
         return ((aligned[:, k >> 2] >> _U32(8 * (k & 3))) & _U32(0xFF)).astype(jnp.int32)
 
-    R = byte0.shape[0]
+    R = w0.shape[0]
     gg = jnp.arange(G, dtype=jnp.int32)[None, :]
     gvalid = gg < ngroups[:, None]
 

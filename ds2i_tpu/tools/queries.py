@@ -80,7 +80,12 @@ def engine_perftest(index, wdata, queries, type_name, ops, k=10, runs=2):
         if op_name not in _ENGINE_OPS:
             logger(f"unsupported query type: {op_name}")
             continue
-        plan = engine.prepare(queries, k=k, ops=_ENGINE_OPS[op_name])
+        # wand/maxscore ride the block-max pruned plan (same results as
+        # exhaustive ranked_or; ResidentEngine.wand)
+        plan = engine.prepare(
+            queries, k=k, ops=_ENGINE_OPS[op_name],
+            prune=op_name in ("wand", "maxscore"),
+        )
         times = []
         for run in range(runs + 1):
             t0 = time.perf_counter()
@@ -91,8 +96,60 @@ def engine_perftest(index, wdata, queries, type_name, ops, k=10, runs=2):
         mean = float(np.mean(times))
         logger(f"---- {type_name} {op_name} (resident engine)")
         logger(f"Mean: {mean}")
+        # per-query quantiles are not observable in one batched dispatch;
+        # say so instead of faking them (use --latency-sweep for a real
+        # batch-size -> latency curve)
         stats_line(type=type_name, query=op_name, engine="resident",
-                   avg=mean, q50=mean, q90=mean, q95=mean)
+                   avg=mean, quantiles="n/a (batched; see --latency-sweep)")
+
+
+def engine_latency_sweep(index, wdata, queries, type_name, ops, k=10,
+                         batch_sizes=(1, 16, 64, 1024, None), max_batches=64):
+    """Honest request-latency measurement: for each batch size, submit the
+    log in batches of that size, timing prepare+execute per batch (a cold
+    plan each time — what a serving request pays). Reports per-batch
+    latency quantiles and the amortized per-query time at each point, so
+    throughput-vs-latency is an explicit tradeoff (the reference's
+    protocol is per-query latency, queries.cpp:25-60; a batch engine must
+    report the curve instead of a single number)."""
+    from ..engine import ResidentEngine
+
+    engine = ResidentEngine(index, wdata)
+    op_name = ops[0] if ops else "ranked_and"
+    eops = _ENGINE_OPS.get(op_name, ("and",))
+    prune = op_name in ("wand", "maxscore")
+    for bs in batch_sizes:
+        size = len(queries) if bs is None else bs
+        if size <= 0:
+            continue
+        lat = []
+        # pass 0 warms XLA on every shape this batch size produces (the
+        # persistent compile cache makes this a one-time cost per server
+        # lifetime); pass 1 is the timed steady state
+        for timed in (False, True):
+            for lo in range(0, len(queries), size):
+                if (len(lat) if timed else lo // size) >= max_batches:
+                    break
+                batch = queries[lo:lo + size]
+                t0 = time.perf_counter()
+                engine.execute(engine.prepare(batch, k=k, ops=eops, prune=prune))
+                if timed:
+                    lat.append((time.perf_counter() - t0) * 1e3)
+        lat = np.sort(np.array(lat))
+        label = "full" if bs is None else str(size)
+        logger(
+            f"batch={label}: q50={np.quantile(lat, 0.5):.1f}ms "
+            f"q90={np.quantile(lat, 0.9):.1f}ms q95={np.quantile(lat, 0.95):.1f}ms "
+            f"({np.quantile(lat, 0.5) * 1e3 / size:.1f} us/query at q50)"
+        )
+        stats_line(
+            type=type_name, query=op_name, engine="resident", mode="latency_sweep",
+            batch=label, batches=len(lat),
+            lat_ms_q50=float(np.quantile(lat, 0.5)),
+            lat_ms_q90=float(np.quantile(lat, 0.9)),
+            lat_ms_q95=float(np.quantile(lat, 0.95)),
+            us_per_query_q50=float(np.quantile(lat, 0.5) * 1e3 / size),
+        )
 
 
 def main():
@@ -105,13 +162,18 @@ def main():
     ap.add_argument("--queries", help="read queries from file instead of stdin")
     ap.add_argument("--engine", choices=["cursor", "resident"], default="cursor",
                     help="cursor: reference-style enumerators; resident: batched device engine")
+    ap.add_argument("--latency-sweep", action="store_true",
+                    help="resident engine: measure per-request latency at "
+                         "batch sizes 1/16/64/1024/full instead of throughput")
     args = ap.parse_args()
 
     index = load_index(args.index_file, args.type)
     wdata = load_wand_data(args.wand_file) if args.wand_file else None
     queries = read_queries(args.queries if args.queries else sys.stdin)
     logger(f"{len(queries)} queries")
-    if args.engine == "resident":
+    if args.latency_sweep:
+        engine_latency_sweep(index, wdata, queries, args.type, args.ops.split(":"), k=args.k)
+    elif args.engine == "resident":
         engine_perftest(index, wdata, queries, args.type, args.ops.split(":"), k=args.k)
     else:
         perftest(index, wdata, queries, args.type, args.ops.split(":"), k=args.k)

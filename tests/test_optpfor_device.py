@@ -40,18 +40,22 @@ def _run(streams, expect, rng):
     buf = np.concatenate([buf, np.zeros((-len(buf)) % 4, np.uint8)])
     words = jnp.asarray(buf.view("<u4").astype(np.uint32))
 
-    bs, n_exs, slot0, ex0 = [], [], [], []
+    bs, n_exs, slot_w0, slot_boff, ex_w0, ex_boff = [], [], [], [], [], []
     for r, off in enumerate(offs):
         b = int(streams[r][0]); n_ex = int(streams[r][1])
         sw = (128 * min(b, 32) + 31) // 32
         bs.append(b); n_exs.append(n_ex)
-        slot0.append((off + 2) * 8)
-        ex0.append((off + 2 + 4 * sw) * 8)
+        slot_w0.append((off + 2) >> 2)
+        slot_boff.append(((off + 2) & 3) * 8)
+        ex = off + 2 + 4 * sw
+        ex_w0.append(ex >> 2)
+        ex_boff.append((ex & 3) * 8)
     E = max(1, max(n_exs))
     WS = (31 + 128 * 32) // 32 + 1
     out = np.asarray(optpfor_decode(
-        words, jnp.asarray(slot0, jnp.int32), jnp.asarray(bs, jnp.int32),
-        jnp.asarray(n_exs, jnp.int32), jnp.asarray(ex0, jnp.int32),
+        words, jnp.asarray(slot_w0, jnp.int32), jnp.asarray(slot_boff, jnp.int32),
+        jnp.asarray(bs, jnp.int32), jnp.asarray(n_exs, jnp.int32),
+        jnp.asarray(ex_w0, jnp.int32), jnp.asarray(ex_boff, jnp.int32),
         WS=WS, E=E,
     ))
     for r in range(R):
@@ -101,10 +105,12 @@ def test_optpfor_device_wide_values():
     buf = np.concatenate([buf, np.zeros((-len(buf)) % 4, np.uint8)])
     words = jnp.asarray(buf.view("<u4").astype(np.uint32))
     offs = np.cumsum([2] + [len(s) for s in streams[:-1]])
-    slot0 = [(int(o) + 2) * 8 for o in offs]
+    slot_w0 = [(int(o) + 2) >> 2 for o in offs]
+    slot_boff = [((int(o) + 2) & 3) * 8 for o in offs]
     ws = (31 + 128 * 32) // 32 + 1
     out = np.asarray(optpfor_decode(
-        words, jnp.asarray(slot0, jnp.int32), jnp.full(6, 32, jnp.int32),
+        words, jnp.asarray(slot_w0, jnp.int32), jnp.asarray(slot_boff, jnp.int32),
+        jnp.full(6, 32, jnp.int32), jnp.zeros(6, jnp.int32),
         jnp.zeros(6, jnp.int32), jnp.zeros(6, jnp.int32),
         WS=ws, E=0, b_static=32,
     ))

@@ -51,17 +51,20 @@ def test_qmx_device_matches_host():
     buf = np.concatenate([buf, np.zeros((-len(buf)) % 4, np.uint8)])
     words = jnp.asarray(buf.view("<u4").astype(np.uint32))
 
-    pay0, niv, sellast, nselv = [], [], [], []
+    pw0, pboff, niv, sw0, sb, nselv = [], [], [], [], [], []
     for r, off in enumerate(offs):
         q, ninst, last, ns = _walk(streams[r])
-        pay0.append((off + q) * 8)
+        pw0.append((off + q) >> 2)
+        pboff.append(((off + q) & 3) * 8)
         niv.append(ninst)
-        sellast.append(off + last)
+        sw0.append((off + last) >> 2)
+        sb.append((off + last) & 3)
         nselv.append(ns)
     NI = max(niv); S = max(nselv)
     out = np.asarray(qmx_decode(
-        words, jnp.asarray(pay0, jnp.int32), jnp.asarray(niv, jnp.int32),
-        jnp.asarray(sellast, jnp.int32), jnp.asarray(nselv, jnp.int32), NI=NI, S=S,
+        words, jnp.asarray(pw0, jnp.int32), jnp.asarray(pboff, jnp.int32),
+        jnp.asarray(niv, jnp.int32), jnp.asarray(sw0, jnp.int32),
+        jnp.asarray(sb, jnp.int32), jnp.asarray(nselv, jnp.int32), NI=NI, S=S,
     ))
     for r in range(R):
         np.testing.assert_array_equal(out[r].astype(np.uint32), expect[r], err_msg=f"row {r}")

@@ -32,7 +32,9 @@ def test_varint_device_matches_host():
     ng = np.array([len(s) // 9 for s in streams], np.int32)
     G = int(ng.max())
     out = np.asarray(varint_decode(
-        words, jnp.asarray(offs, jnp.int32), jnp.asarray(ng), G=G,
+        words, jnp.asarray([o >> 2 for o in offs], jnp.int32),
+        jnp.asarray([(o & 3) * 8 for o in offs], jnp.int32),
+        jnp.asarray(ng), G=G,
     ))
     for r in range(R):
         np.testing.assert_array_equal(out[r].astype(np.uint32), expect[r], err_msg=f"row {r}")

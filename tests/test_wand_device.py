@@ -1,0 +1,76 @@
+"""Device WAND/MaxScore (block-max pruned top-k OR) must match the
+exhaustive ranked_or within the reference's own tolerance
+(test_ranked_queries.cpp:14-75 pattern: pruned vs exhaustive, 0.1%)."""
+
+import numpy as np
+import pytest
+
+from ds2i_tpu import GlobalParameters
+from ds2i_tpu.engine import ResidentEngine
+from ds2i_tpu.index.types import make_index_type
+from ds2i_tpu.queries.wand_data import WandData
+
+
+def _build(tname, seed=5, num_docs=4000, nterms=150):
+    rng = np.random.RandomState(seed)
+    sizes = rng.randint(50, 400, num_docs).astype(np.int64)
+    lens = np.maximum(
+        np.minimum(rng.zipf(1.25, nterms) * 3, num_docs // 2), 1
+    ).astype(np.int64)
+    cls = make_index_type(tname)
+    b = cls.builder(num_docs, GlobalParameters())
+    lists = []
+    for i in range(nterms):
+        n = int(lens[i])
+        docs = np.sort(rng.choice(num_docs, size=n, replace=False)).astype(np.int64)
+        freqs = np.ones(n, dtype=np.int64)
+        spikes = rng.rand(n) < 0.05
+        freqs[spikes] = rng.randint(5, 60, max(int(spikes.sum()), 0))
+        lists.append((docs, freqs))
+        b.add_posting_list(n, docs, freqs, int(freqs.sum()))
+    idx = b.build()
+    wd = WandData.build(sizes, lists)
+    # rare+common query mix (the discriminative WAND case) + edge shapes
+    p = np.sqrt(lens.astype(float))
+    p /= p.sum()
+    qs = [list(np.unique(rng.choice(nterms, size=rng.randint(1, 6), p=p)))
+          for _ in range(48)]
+    qs += [[int(np.argmin(lens)), int(np.argmax(lens))], [0], [1, 1, 2]]
+    return idx, wd, qs
+
+
+@pytest.mark.parametrize("tname", ["ef", "opt", "block_optpfor", "block_qmx"])
+def test_wand_matches_exhaustive(tname):
+    idx, wd, qs = _build(tname)
+    eng = ResidentEngine(idx, wd, pallas=0)
+    for k in (1, 10):
+        exact = eng.ranked_or(qs, k=k)
+        for name in ("wand", "maxscore"):
+            pruned = getattr(eng, name)(qs, k=k)
+            for i, (a, p) in enumerate(zip(exact, pruned)):
+                assert len(a) == len(p), f"{name} k={k} q{i}: result count"
+                np.testing.assert_allclose(
+                    p, a, rtol=1e-3, err_msg=f"{name} k={k} q{i}"
+                )
+
+
+def test_wand_actually_prunes():
+    """On skewed data the pruned plan must be materially smaller."""
+    idx, wd, qs = _build("block_optpfor", seed=9)
+    eng = ResidentEngine(idx, wd, pallas=0)
+    pe = eng.prepare(qs, k=10, ops=("or",))
+    pp = eng.prepare(qs, k=10, ops=("or",), prune=True)
+
+    def slots(plan):
+        return sum(b["Bb"] * b["L"] for p in plan["plans"] for b in p["buckets"])
+
+    assert slots(pp) < slots(pe) * 0.9, (slots(pp), slots(pe))
+
+
+def test_prune_rejects_non_or_ops():
+    idx, wd, qs = _build("ef")
+    eng = ResidentEngine(idx, wd, pallas=0)
+    with pytest.raises(ValueError):
+        eng.prepare(qs, k=10, ops=("and",), prune=True)
+    with pytest.raises(ValueError):
+        eng.prepare(qs, k=10, ops=("counts",), ranked=False, prune=True)
