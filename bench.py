@@ -54,13 +54,16 @@ NUM_TERMS = int(os.environ.get("DS2I_BENCH_TERMS", 110_000))
 NUM_QUERIES = int(os.environ.get("DS2I_BENCH_QUERIES", 35_000))
 INDEX_TYPE = os.environ.get("DS2I_BENCH_INDEX", "block_optpfor")
 # "and": top-10 BM25 ranked_and (the reference's headline op);
+# "and_skip": ranked_and with intersection block skipping (identical
+#   results; the device leapfrog analogue);
 # "or": top-10 BM25 ranked_or (exhaustive DAAT union);
 # "wand"/"maxscore": top-10 BM25 with block-max pruning (identical
 #   results to ranked_or; see ResidentEngine.wand);
 # "counts": boolean and+or counts (BASELINE config 1)
 BENCH_OP = os.environ.get("DS2I_BENCH_OP", "and")
-if BENCH_OP not in ("and", "or", "wand", "maxscore", "counts"):
-    raise SystemExit(f"DS2I_BENCH_OP must be and|or|wand|maxscore|counts, got {BENCH_OP!r}")
+if BENCH_OP not in ("and", "and_skip", "or", "wand", "maxscore", "counts"):
+    raise SystemExit(
+        f"DS2I_BENCH_OP must be and|and_skip|or|wand|maxscore|counts, got {BENCH_OP!r}")
 
 
 def log(msg):
@@ -119,7 +122,7 @@ def main():
     t0 = time.time()
     ops = {"counts": ("counts",), "or": ("or",), "wand": ("or",),
            "maxscore": ("or",)}.get(BENCH_OP, ("and",))
-    prune = BENCH_OP in ("wand", "maxscore")
+    prune = BENCH_OP in ("wand", "maxscore", "and_skip")
     plan = engine.prepare(queries, k=10, ops=ops, ranked=BENCH_OP != "counts", prune=prune)
     log(f"batch layout{' (block-max pruned)' if prune else ''}: "
         f"{time.time()-t0:.1f}s, {len(plan['plans'])} parts")

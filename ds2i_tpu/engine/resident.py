@@ -972,7 +972,7 @@ class ResidentEngine:
         return groups_f, gtile_f, blkperm
 
     def _pruned_directory(self, terms, qw, counts, k, span_row,
-                          theta_override=None, probe_rank=None):
+                          theta_override=None, probe_rank=None, mode="or"):
         """Block-max pruned flat directory (device WAND/MaxScore,
         queries.hpp:200-319/:478-591 semantics, batched):
 
@@ -1006,6 +1006,41 @@ class ResidentEngine:
         if probe_rank is not None:
             # phase-1 probe: each term's top probe_rank blocks by block max
             keep = self.rank_blk[gblk_flat] < probe_rank
+        elif mode == "and":
+            # intersection pruning — the device-side leapfrog analogue
+            # (and_query's next_geq skipping, queries.hpp:59-82): drop an
+            # entry when ANY other span of its row provably has no posting
+            # in the entry's docid range; no doc of the block can then be
+            # in the intersection, so counts and scores stay exact (docs
+            # IN the intersection overlap every term at themselves, so all
+            # their blocks survive).
+            rowe = span_row[span_of_blk]
+            sexcl = np.cumsum(counts) - counts
+            cnt_e = counts[rowe]
+            P = int(cnt_e.sum())
+            ent_of_pair = np.repeat(np.arange(tot, dtype=np.int64), cnt_e)
+            pexcl = np.cumsum(cnt_e) - cnt_e
+            s_pair = sexcl[rowe][ent_of_pair] + (np.arange(P, dtype=np.int64) - pexcl[ent_of_pair])
+            ts_pair = t[s_pair]
+            j0p = self._blk_j0[gblk_flat][ent_of_pair]
+            j1p = self._blk_j1[gblk_flat][ent_of_pair]
+            present = (self.qbmax[ts_pair, j0p] > 0) | (self.qbmax[ts_pair, j1p] > 0)
+            present |= (j1p - j0p) > 1  # wide ranges: conservative keep
+            sp = self.is_short[ts_pair]
+            if np.any(sp):
+                dlo_p = self._blk_dlo[gblk_flat][ent_of_pair][sp]
+                dhi_p = self.dmax_blk[gblk_flat][ent_of_pair][sp]
+                base = ts_pair[sp] * self._short_stride
+                lo = np.searchsorted(self._short_keys, base + dlo_p)
+                hi = np.searchsorted(self._short_keys, base + dhi_p + 1)
+                present[sp] = hi > lo  # posting-exact overlap
+            present[missing[s_pair]] = False  # absent term: empty AND
+            own = s_pair == span_of_blk[ent_of_pair]
+            ok_pair = present | own
+            keep = (
+                np.add.reduceat(ok_pair.astype(np.int64), pexcl) == cnt_e
+                if P else np.zeros(tot, dtype=bool)
+            )
         else:
             # static theta: k-th largest block max per term (CSR; -inf when
             # the term has fewer than k blocks or k exceeds the table)
@@ -1092,6 +1127,7 @@ class ResidentEngine:
             gblk_kept, span_kept, row_of_blk, row_nb = self._pruned_directory(
                 terms, qw, counts, k, span_row,
                 theta_override=theta, probe_rank=probe_rank,
+                mode="and" if ops == ("and",) else "or",
             )
             tot = len(gblk_kept)
             tiles_kept = self.tile_of_gblk[gblk_kept] if tot else np.zeros(0, np.int64)
@@ -1245,8 +1281,11 @@ class ResidentEngine:
         applies block-max skipping (valid only for top-k OR semantics —
         the WAND/MaxScore result contract); it triggers the one-time
         block-max metadata pass on first use."""
-        if prune and (tuple(ops) != ("or",) or not ranked):
-            raise ValueError("prune requires ranked ops=('or',) (WAND/MaxScore semantics)")
+        if prune and (tuple(ops) not in (("or",), ("and",)) or not ranked):
+            raise ValueError(
+                "prune requires ranked ops=('or',) (WAND/MaxScore) or "
+                "ops=('and',) (intersection block skipping)"
+            )
         if prune:
             self._ensure_blockmax()
         terms, qw, counts = self._prep_terms(queries, ranked)
@@ -1276,7 +1315,7 @@ class ResidentEngine:
         parts.append((cur0, len(queries)))
 
         probe_theta = None
-        if prune:
+        if prune and tuple(ops) == ("or",):
             import os as _os
 
             if _os.environ.get("DS2I_WAND_PROBE") != "0":
@@ -1482,8 +1521,13 @@ class ResidentEngine:
     def ranked_or(self, queries, k=10):
         return [self._topk_list(r[2]) for r in self.run(queries, k=k, ops=("or",))]
 
-    def ranked_and(self, queries, k=10):
-        return [self._topk_list(r[3]) for r in self.run(queries, k=k, ops=("and",))]
+    def ranked_and(self, queries, k=10, prune=False):
+        """prune=True skips blocks provably outside the intersection
+        (device leapfrog analogue; results identical)."""
+        return [
+            self._topk_list(r[3])
+            for r in self.run(queries, k=k, ops=("and",), prune=prune)
+        ]
 
     def wand(self, queries, k=10):
         """Top-k OR with device block-max pruning (wand_query semantics,

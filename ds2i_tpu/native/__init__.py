@@ -278,3 +278,57 @@ def seq_write_batch_native(kind_name, docs, freqs, voff, num_docs, occs, params,
     f_off[:count] = f_ends[:count]
     f_off[count] = int(f_bits.value)
     return d_words, int(d_bits.value), d_off, f_words, int(f_bits.value), f_off
+
+
+def cpu_block_query_native(data, endpoints, num_lists, norm_lens, num_docs,
+                           qterms, qweights, qoffs, op, k):
+    """Native CPU cursor query over a block_optpfor index (the reference-
+    style enumerator path in C++: per-block decode + leapfrog/DAAT +
+    scores-only top-k). op: 0 and-count, 1 or-count, 2 ranked_and,
+    3 ranked_or. Returns (scores (Q, k) f32 -inf padded, counts (Q,),
+    per-query microseconds (Q,)) or None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "ds2i_cpu_block_query"):
+        return None
+    lib.ds2i_cpu_block_query.restype = ctypes.c_int64
+    lib.ds2i_cpu_block_query.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    # slack so whole-word reads at the stream tail stay in bounds
+    data = np.concatenate([data, np.zeros(16, np.uint8)])
+    endpoints = np.ascontiguousarray(endpoints, dtype=np.int64)
+    norm_lens = np.ascontiguousarray(norm_lens, dtype=np.float32)
+    qterms = np.ascontiguousarray(qterms, dtype=np.int64)
+    qweights = np.ascontiguousarray(qweights, dtype=np.float32)
+    qoffs = np.ascontiguousarray(qoffs, dtype=np.int64)
+    nq = len(qoffs) - 1
+    scores = np.full((nq, max(k, 1)), -np.inf, dtype=np.float32)
+    counts = np.zeros(nq, dtype=np.int64)
+    qus = np.zeros(nq, dtype=np.float64)
+    res = lib.ds2i_cpu_block_query(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        endpoints.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(num_lists),
+        norm_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(num_docs),
+        qterms.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        qweights.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        qoffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nq, int(op), int(max(k, 1)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        qus.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if res != 0:
+        return None
+    return scores, counts, qus

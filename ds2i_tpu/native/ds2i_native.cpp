@@ -13,6 +13,8 @@
 
 #include <cstdint>
 #include <cstddef>
+#include <algorithm>
+#include <chrono>
 #include <vector>
 #include <cmath>
 #include <limits>
@@ -1502,6 +1504,370 @@ int64_t ds2i_seq_write_batch_v2(
         std::vector<uint64_t>().swap(fb.w);
     }
     *d_words = dw; *f_words = fw;
+    return 0;
+}
+
+}  // extern "C"
+
+// ============================================================================
+// Native CPU query engine — reference-style cursors over block indexes.
+//
+// The modern-CPU serving path AND the measured same-machine baseline for
+// BASELINE.md: block_posting_list document_enumerator semantics
+// (block_posting_list.hpp:84-331 — one docs block decoded at a time,
+// freqs lazily, next_geq via linear block_maxs scan) driving the
+// queries.hpp operators (and_query:35-86, or_query:88-131,
+// ranked_and:322-401, ranked_or:404-476) with the scores-only topk_queue
+// (queries.hpp:152-197) and bm25 weights (bm25.hpp).
+// Codecs: OptPFor(+Simple16) full blocks, interpolative partials —
+// byte-identical twins of codecs/{optpfor,simple16,interpolative}.py.
+// ============================================================================
+
+namespace cpuq {
+
+using blocktab::vbyte_read;
+using blocktab::rd_u32;
+
+constexpr uint32_t UNKNOWN_SUM = 0xFFFFFFFFu;
+constexpr int BS = 128;
+
+// simple16 per-mode widths (codecs/simple16.py S16_MODES)
+struct S16Tab {
+    int8_t widths[16][28];
+    int8_t counts[16];
+    S16Tab() {
+        static const int modes[16][4][2] = {
+            {{28,1},{0,0}}, {{7,2},{14,1}}, {{14,1},{7,2}}, {{14,2},{0,0}},
+            {{4,3},{8,2}}, {{8,2},{4,3}}, {{7,4},{0,0}}, {{4,5},{2,4}},
+            {{2,4},{4,5}}, {{3,6},{2,5}}, {{2,5},{3,6}}, {{4,7},{0,0}},
+            {{2,9},{1,10}}, {{1,10},{2,9}}, {{2,14},{0,0}}, {{1,28},{0,0}},
+        };
+        for (int m = 0; m < 16; m++) {
+            int k = 0;
+            for (int r = 0; r < 4; r++)
+                for (int c = 0; c < modes[m][r][0]; c++) widths[m][k++] = (int8_t)modes[m][r][1];
+            counts[m] = (int8_t)k;
+        }
+    }
+};
+inline const S16Tab& s16tab() { static S16Tab t; return t; }
+
+// decode nvals simple16 values at byte pos; returns words consumed
+inline int s16_decode(const uint8_t* d, long pos, int nvals, uint32_t* out) {
+    const S16Tab& T = s16tab();
+    int got = 0, w = 0;
+    while (got < nvals) {
+        uint32_t word = rd_u32(d, pos + 4 * w);
+        int sel = word >> 28;
+        uint32_t payload = word & 0x0FFFFFFF;
+        int cnt = T.counts[sel];
+        int shift = 0;
+        for (int j = 0; j < cnt && got < nvals; j++) {
+            int width = T.widths[sel][j];
+            out[got++] = (payload >> shift) & ((1u << width) - 1);
+            shift += width;
+        }
+        w++;
+    }
+    return w;
+}
+
+// interpolative decode (codecs/interpolative.py BitReader32 semantics)
+struct BitRd {
+    const uint8_t* buf; long byte0; long word_idx = 0; int avail = 0;
+    uint64_t acc = 0; long pos = 0;
+    BitRd(const uint8_t* b, long p) : buf(b), byte0(p) {}
+    uint32_t read(int len) {
+        if (!len) return 0;
+        while (avail < len) {
+            acc |= (uint64_t)rd_u32(buf, byte0 + word_idx * 4) << avail;
+            avail += 32; word_idx++;
+        }
+        uint32_t v = (uint32_t)(acc & ((len < 64) ? ((1ull << len) - 1) : ~0ull));
+        acc >>= len; avail -= len; pos += len;
+        return v;
+    }
+    uint32_t read_int(uint64_t u) {
+        int b = 63 - __builtin_clzll(u);
+        uint64_t m = (1ull << (b + 1)) - u;
+        uint64_t v = read(b);
+        if (v >= m) v = (v << 1) + read(1) - m;
+        return (uint32_t)v;
+    }
+    void walk(uint32_t* out, int lo_i, int hi_i, uint32_t low, uint32_t high) {
+        int n = hi_i - lo_i;
+        if (n <= 0) return;
+        int h = lo_i + n / 2;
+        uint32_t val = low + read_int((uint64_t)high - low + 1);
+        out[h] = val;
+        walk(out, lo_i, h, low, val);
+        walk(out, h + 1, hi_i, val, high);
+    }
+};
+
+inline long interp_dec(const uint8_t* d, long pos, uint32_t sum, int n, uint32_t* out) {
+    uint64_t s = sum;
+    if (sum == UNKNOWN_SUM) s = vbyte_read(d, pos);
+    uint32_t cum[BS];
+    cum[n - 1] = (uint32_t)s;
+    long consumed = 0;
+    if (n > 1) {
+        BitRd br(d, pos);
+        br.walk(cum, 0, n - 1, 0, (uint32_t)s);
+        consumed = (br.pos + 7) / 8;
+    }
+    out[0] = cum[0];
+    for (int i = 1; i < n; i++) out[i] = cum[i] - cum[i - 1];
+    return pos + consumed;
+}
+
+inline long opt_dec(const uint8_t* d, long pos, uint32_t sum, int n, uint32_t* out) {
+    if (n < BS) return interp_dec(d, pos, sum, n, out);
+    int b = d[pos], n_ex = d[pos + 1];
+    pos += 2;
+    int bb = b < 32 ? b : 32;
+    long slot_words = ((long)n * bb + 31) / 32;
+    if (bb == 0) {
+        for (int i = 0; i < n; i++) out[i] = 0;
+    } else {
+        long bit = 0;
+        for (int i = 0; i < n; i++, bit += bb) {
+            long w = bit >> 5; int s = (int)(bit & 31);
+            uint64_t x = rd_u32(d, pos + 4 * w);
+            if (s + bb > 32) x |= (uint64_t)rd_u32(d, pos + 4 * (w + 1)) << 32;
+            out[i] = (uint32_t)((x >> s) & ((bb >= 32) ? 0xFFFFFFFFull : ((1ull << bb) - 1)));
+        }
+    }
+    pos += 4 * slot_words;
+    if (n_ex) {
+        uint32_t ex[2 * BS];
+        int used = s16_decode(d, pos, 2 * n_ex, ex);
+        pos += 4 * used;
+        uint32_t p = 0;
+        for (int e = 0; e < n_ex; e++) {
+            p = e ? p + ex[e] + 1 : ex[0];
+            out[p] |= (ex[n_ex + e] + 1) << b;
+        }
+    }
+    return pos;
+}
+
+struct Cursor {
+    const uint8_t* data;
+    long n = 0, blocks = 0;
+    long maxs_at = 0, endp_at = 0, body = 0;
+    long cur_block = -1;
+    int cur_size = 0;
+    uint32_t block_base = 0;
+    long freq_pos = -1;  // freqs byte pos of cur block (decoded lazily)
+    bool freqs_done = false;
+    long pos_in_block = 0;
+    long position = 0;
+    uint32_t docs_buf[BS], freqs_buf[BS];
+    float qw = 0.0f;
+    uint32_t universe = 0;
+
+    void open(const uint8_t* d, long off, uint32_t num_docs) {
+        data = d;
+        long p = off;
+        n = (long)vbyte_read(d, p);
+        blocks = (n + BS - 1) / BS;
+        maxs_at = p;
+        endp_at = p + 4 * blocks;
+        body = endp_at + 4 * (blocks - 1);
+        universe = num_docs;
+        cur_block = -1;
+        position = 0;
+        decode_block(0);
+    }
+    uint32_t block_max(long b) const { return rd_u32(data, maxs_at + 4 * b); }
+    long block_off(long b) const {
+        return body + (b ? (long)rd_u32(data, endp_at + 4 * (b - 1)) : 0);
+    }
+    void decode_block(long b) {
+        cur_block = b;
+        long lo = b * BS;
+        cur_size = (int)std::min<long>(BS, n - lo);
+        block_base = b ? block_max(b - 1) + 1 : 0;
+        uint32_t last = block_max(b);
+        long p = opt_dec(data, block_off(b), last - block_base - (cur_size - 1),
+                         cur_size, docs_buf);
+        // prefix-sum gaps -> docids
+        uint32_t acc = block_base;
+        for (int i = 0; i < cur_size; i++) {
+            acc += docs_buf[i] + (i ? 1 : 0);
+            docs_buf[i] = acc;
+        }
+        freq_pos = p;
+        freqs_done = false;
+        pos_in_block = 0;
+    }
+    uint32_t docid() const {
+        return position < n ? docs_buf[pos_in_block] : universe;
+    }
+    uint32_t freq() {
+        if (!freqs_done) {
+            uint32_t tmp[BS];
+            opt_dec(data, freq_pos, UNKNOWN_SUM, cur_size, tmp);
+            for (int i = 0; i < cur_size; i++) freqs_buf[i] = tmp[i] + 1;
+            freqs_done = true;
+        }
+        return freqs_buf[pos_in_block];
+    }
+    void next() {
+        position++;
+        if (position >= n) return;
+        if (++pos_in_block == cur_size) decode_block(cur_block + 1);
+    }
+    void next_geq(uint32_t lb) {
+        if (position >= n) return;
+        if (lb > block_max(cur_block)) {
+            // linear block_maxs scan (block_posting_list.hpp:124-146)
+            long b = cur_block + 1;
+            while (b + 1 < blocks && block_max(b) < lb) b++;
+            if (block_max(b) < lb) { position = n; return; }
+            decode_block(b);
+            position = b * BS;
+        }
+        while (docs_buf[pos_in_block] < lb) {
+            pos_in_block++; position++;
+            if (pos_in_block == cur_size) {
+                if (cur_block + 1 >= blocks) { position = n; return; }
+                decode_block(cur_block + 1);
+                position = cur_block * BS;
+            }
+        }
+    }
+};
+
+// scores-only top-k min-heap (queries.hpp:152-197)
+struct TopK {
+    float* heap; int k; int size = 0;
+    TopK(float* buf, int kk) : heap(buf), k(kk) {}
+    bool would_enter(float s) const { return size < k || s > heap[0]; }
+    void insert(float s) {
+        if (size < k) {
+            heap[size++] = s;
+            std::push_heap(heap, heap + size, std::greater<float>());
+        } else if (s > heap[0]) {
+            std::pop_heap(heap, heap + size, std::greater<float>());
+            heap[size - 1] = s;
+            std::push_heap(heap, heap + size, std::greater<float>());
+        }
+    }
+    void finalize() { std::sort_heap(heap, heap + size, std::greater<float>()); }
+};
+
+constexpr float K1 = 1.2f, B = 0.5f;
+inline float dtw(uint32_t f, float nl) {
+    float ff = (float)f;
+    return ff / (ff + K1 * (1.0f - B + B * nl));
+}
+
+}  // namespace cpuq
+
+extern "C" {
+
+// Native CPU cursor query over a block_optpfor index. op: 0 and-count,
+// 1 or-count, 2 ranked_and, 3 ranked_or. Queries CSR: qterms/qweights
+// flat, qoffs[num_queries+1]. out_scores: (num_queries * k) f32, padded
+// with -inf; out_counts: per-query result counts. Returns 0, or -1 on
+// bad input.
+int64_t ds2i_cpu_block_query(
+    const uint8_t* data, const int64_t* endpoints, int64_t num_lists,
+    const float* norm_lens, int64_t num_docs,
+    const int64_t* qterms, const float* qweights, const int64_t* qoffs,
+    int64_t num_queries, int op, int k,
+    float* out_scores, int64_t* out_counts, double* out_us /* nullable */)
+{
+    using namespace cpuq;
+    std::vector<Cursor> curs;
+    std::vector<float> heapbuf(k > 0 ? k : 1);
+    for (int64_t q = 0; q < num_queries; q++) {
+        auto t_start = std::chrono::steady_clock::now();
+        long t0 = qoffs[q], t1 = qoffs[q + 1];
+        int nt = (int)(t1 - t0);
+        curs.clear();
+        curs.resize(nt);
+        for (int i = 0; i < nt; i++) {
+            int64_t t = qterms[t0 + i];
+            if (t < 0 || t >= num_lists) return -1;
+            curs[i].open(data, endpoints[t], (uint32_t)num_docs);
+            curs[i].qw = qweights[t0 + i];
+        }
+        float* out_q = out_scores + q * k;
+        for (int i = 0; i < k; i++) out_q[i] = -std::numeric_limits<float>::infinity();
+        out_counts[q] = 0;
+        if (nt == 0) continue;
+
+        if (op == 0 || op == 2) {
+            // leapfrog intersection, shortest list first (queries.hpp:53-82)
+            std::sort(curs.begin(), curs.end(),
+                      [](const Cursor& a, const Cursor& b) { return a.n < b.n; });
+            TopK topk(heapbuf.data(), k);
+            uint64_t results = 0;
+            uint32_t candidate = curs[0].docid();
+            size_t i = 1;
+            while (candidate < num_docs) {
+                for (; i < curs.size(); i++) {
+                    curs[i].next_geq(candidate);
+                    if (curs[i].docid() != candidate) {
+                        candidate = curs[i].docid();
+                        i = 0;
+                        break;
+                    }
+                }
+                if (i == curs.size()) {
+                    results++;
+                    if (op == 2) {
+                        float nl = norm_lens[candidate];
+                        float score = 0.0f;
+                        for (auto& c : curs) score += c.qw * dtw(c.freq(), nl);
+                        topk.insert(score);
+                    }
+                    curs[0].next();
+                    candidate = curs[0].docid();
+                    i = 1;
+                }
+            }
+            out_counts[q] = (int64_t)results;
+            if (op == 2) {
+                topk.finalize();
+                for (int i2 = 0; i2 < topk.size; i2++) out_q[i2] = topk.heap[i2];
+                out_counts[q] = topk.size;
+            }
+        } else {
+            // DAAT union (queries.hpp:88-131 / ranked_or :404-476)
+            TopK topk(heapbuf.data(), k);
+            uint64_t results = 0;
+            uint32_t cur_doc = (uint32_t)num_docs;
+            for (auto& c : curs) cur_doc = std::min(cur_doc, c.docid());
+            while (cur_doc < num_docs) {
+                results++;
+                float score = 0.0f;
+                uint32_t next_doc = (uint32_t)num_docs;
+                for (auto& c : curs) {
+                    if (c.docid() == cur_doc) {
+                        if (op == 3) score += c.qw * dtw(c.freq(), norm_lens[cur_doc]);
+                        c.next();
+                    }
+                    next_doc = std::min(next_doc, c.docid());
+                }
+                if (op == 3) topk.insert(score);
+                cur_doc = next_doc;
+            }
+            out_counts[q] = (int64_t)results;
+            if (op == 3) {
+                topk.finalize();
+                for (int i2 = 0; i2 < topk.size; i2++) out_q[i2] = topk.heap[i2];
+                out_counts[q] = topk.size;
+            }
+        }
+        if (out_us) {
+            out_us[q] = std::chrono::duration<double, std::micro>(
+                std::chrono::steady_clock::now() - t_start).count();
+        }
+    }
     return 0;
 }
 

@@ -103,6 +103,61 @@ def engine_perftest(index, wdata, queries, type_name, ops, k=10, runs=2):
                    avg=mean, quantiles="n/a (batched; see --latency-sweep)")
 
 
+_NATIVE_OPS = {"and": 0, "or": 1, "ranked_and": 2, "ranked_or": 3}
+
+
+def native_perftest(index, wdata, queries, type_name, ops, k=10, runs=2):
+    """op_perftest over the NATIVE C++ cursor engine (ds2i_cpu_block_query
+    — reference-style block enumerators in C++). This is the measured
+    same-machine CPU baseline for BASELINE.md: per-query microseconds,
+    1 warmup + `runs` timed passes, mean/q50/q90/q95 like queries.cpp."""
+    import numpy as np
+
+    from ..native import cpu_block_query_native
+    from ..queries.bm25 import BM25
+    from ..queries.parsing import query_freqs
+
+    data = np.asarray(index.lists, np.uint8)
+    eps = np.asarray(index.endpoints(), np.int64)
+    nl = (wdata.norm_lens if wdata is not None
+          else np.ones(index.num_docs(), np.float32))
+    N = float(index.num_docs())
+    lens = np.array([index.list_length(i) for i in range(index.size())], np.float64)
+
+    terms, qws, offs = [], [], [0]
+    for q in queries:
+        for t, m in query_freqs(q):
+            terms.append(t)
+            idf = np.log((N - lens[t] + 0.5) / (lens[t] + 0.5))
+            qws.append(m * max(1e-6, idf) * (1 + BM25.k1))
+        offs.append(len(terms))
+
+    for op_name in ops:
+        if op_name not in _NATIVE_OPS:
+            logger(f"unsupported native query type: {op_name}")
+            continue
+        all_us = []
+        for run in range(runs + 1):
+            out = cpu_block_query_native(
+                data, eps, index.size(), nl, index.num_docs(),
+                terms, qws, offs, _NATIVE_OPS[op_name], k,
+            )
+            if out is None:
+                logger("native library unavailable; build ds2i_tpu/native")
+                return
+            if run:
+                all_us.append(out[2])
+        us = np.sort(np.concatenate(all_us))
+        mean = float(us.mean())
+        logger(f"---- {type_name} {op_name} (native C++ cursors)")
+        logger(f"Mean: {mean}")
+        stats_line(
+            type=type_name, query=op_name, engine="native", avg=mean,
+            q50=float(np.quantile(us, 0.5)), q90=float(np.quantile(us, 0.9)),
+            q95=float(np.quantile(us, 0.95)),
+        )
+
+
 def engine_latency_sweep(index, wdata, queries, type_name, ops, k=10,
                          batch_sizes=(1, 16, 64, 1024, None), max_batches=64):
     """Honest request-latency measurement: for each batch size, submit the
@@ -160,8 +215,10 @@ def main():
     ap.add_argument("wand_file", nargs="?")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--queries", help="read queries from file instead of stdin")
-    ap.add_argument("--engine", choices=["cursor", "resident"], default="cursor",
-                    help="cursor: reference-style enumerators; resident: batched device engine")
+    ap.add_argument("--engine", choices=["cursor", "resident", "native"], default="cursor",
+                    help="cursor: Python reference-style enumerators; resident: "
+                         "batched device engine; native: C++ cursor engine "
+                         "(block_optpfor — the measured CPU baseline)")
     ap.add_argument("--latency-sweep", action="store_true",
                     help="resident engine: measure per-request latency at "
                          "batch sizes 1/16/64/1024/full instead of throughput")
@@ -173,6 +230,8 @@ def main():
     logger(f"{len(queries)} queries")
     if args.latency_sweep:
         engine_latency_sweep(index, wdata, queries, args.type, args.ops.split(":"), k=args.k)
+    elif args.engine == "native":
+        native_perftest(index, wdata, queries, args.type, args.ops.split(":"), k=args.k)
     elif args.engine == "resident":
         engine_perftest(index, wdata, queries, args.type, args.ops.split(":"), k=args.k)
     else:

@@ -242,3 +242,62 @@ def test_native_batch_rejects_excess_freq_sum(type_name):
     b.add_posting_list(3, docs, freqs, 6)
     with pytest.raises(ValueError):
         b.build()
+
+
+def test_native_cpu_query_engine_matches_oracle():
+    """ds2i_cpu_block_query (the C++ cursor engine / measured CPU
+    baseline) must match the Python cursor ops on all four operators."""
+    from ds2i_tpu import GlobalParameters
+    from ds2i_tpu.index.types import make_index_type
+    from ds2i_tpu.native import available, cpu_block_query_native
+    from ds2i_tpu.queries import QUERY_OPS
+    from ds2i_tpu.queries.bm25 import BM25
+    from ds2i_tpu.queries.parsing import query_freqs
+    from ds2i_tpu.queries.wand_data import WandData
+
+    if not available():
+        pytest.skip("native library not built")
+
+    rng = np.random.RandomState(3)
+    num_docs = 4000
+    sizes = rng.randint(50, 400, num_docs).astype(np.int64)
+    cls = make_index_type("block_optpfor")
+    b = cls.builder(num_docs, GlobalParameters())
+    lists = []
+    for i in range(50):
+        n = int(rng.randint(1, 1200))
+        docs = np.sort(rng.choice(num_docs, size=n, replace=False)).astype(np.int64)
+        freqs = (1 + rng.zipf(1.5, n) % 40).astype(np.int64)
+        lists.append((docs, freqs))
+        b.add_posting_list(n, docs, freqs, int(freqs.sum()))
+    idx = b.build()
+    wd = WandData.build(sizes, lists)
+    qs = [list(rng.choice(50, size=rng.randint(1, 5), replace=False)) for _ in range(40)]
+
+    list_n = np.array([len(d) for d, _ in lists], dtype=np.float64)
+    terms, qws, offs = [], [], [0]
+    for q in qs:
+        for t, m in query_freqs(q):
+            terms.append(t)
+            idf = np.log((num_docs - list_n[t] + 0.5) / (list_n[t] + 0.5))
+            qws.append(m * max(1e-6, idf) * (1 + BM25.k1))
+        offs.append(len(terms))
+
+    data = np.asarray(idx.lists, np.uint8)
+    eps = np.asarray(idx.endpoints(), np.int64)
+    for opname, opcode in (("and", 0), ("or", 1), ("ranked_and", 2), ("ranked_or", 3)):
+        out = cpu_block_query_native(
+            data, eps, idx.size(), wd.norm_lens, num_docs, terms, qws, offs, opcode, 10
+        )
+        assert out is not None
+        scores, counts, qus = out
+        ref_op = QUERY_OPS[opname](idx, wd, 10)
+        for qi, q in enumerate(qs):
+            ref = ref_op(q)
+            if opcode < 2:
+                assert int(counts[qi]) == int(ref), (opname, qi)
+            else:
+                rs = np.asarray(ref, dtype=np.float32)
+                ms = scores[qi][np.isfinite(scores[qi])]
+                assert len(rs) == len(ms), (opname, qi)
+                np.testing.assert_allclose(ms, rs, rtol=1e-4, err_msg=f"{opname} q{qi}")

@@ -58,6 +58,13 @@ def test_cli_walkthrough(base, tmp_path, monkeypatch, capsys):
               "--queries", base + ".queries", "--out", bs])
     assert sum(1 for _ in open(bs)) > 0
 
+    # the closed-form profile equals the serial cursor replay exactly
+    bs_replay = str(tmp_path / "blockstats_replay.tsv")
+    run_tool(monkeypatch, capsys, "profile_queries",
+             ["block_optpfor", "ranked_and", idx, wand,
+              "--queries", base + ".queries", "--out", bs_replay, "--replay"])
+    assert open(bs).read() == open(bs_replay).read()
+
     prof = str(tmp_path / "prof.jsonl")
     run_tool(monkeypatch, capsys, "profile_decoding",
              ["block_optpfor", idx, "0.5", "--out", prof])

@@ -67,10 +67,23 @@ def test_wand_actually_prunes():
     assert slots(pp) < slots(pe) * 0.9, (slots(pp), slots(pe))
 
 
-def test_prune_rejects_non_or_ops():
+@pytest.mark.parametrize("tname", ["ef", "block_optpfor"])
+def test_ranked_and_skip_matches_exhaustive(tname):
+    """Intersection block skipping (device leapfrog analogue) must keep
+    ranked_and results exact."""
+    idx, wd, qs = _build(tname, seed=11)
+    eng = ResidentEngine(idx, wd, pallas=0)
+    exact = eng.ranked_and(qs, k=10)
+    pruned = eng.ranked_and(qs, k=10, prune=True)
+    for i, (a, p) in enumerate(zip(exact, pruned)):
+        assert len(a) == len(p), f"q{i}: result count"
+        np.testing.assert_allclose(p, a, rtol=1e-3, err_msg=f"q{i}")
+
+
+def test_prune_rejects_unsupported_ops():
     idx, wd, qs = _build("ef")
     eng = ResidentEngine(idx, wd, pallas=0)
     with pytest.raises(ValueError):
-        eng.prepare(qs, k=10, ops=("and",), prune=True)
+        eng.prepare(qs, k=10, ops=("or", "and"), prune=True)
     with pytest.raises(ValueError):
         eng.prepare(qs, k=10, ops=("counts",), ranked=False, prune=True)
