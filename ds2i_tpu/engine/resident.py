@@ -403,12 +403,17 @@ class ResidentEngine:
         self.cache_dir = cache_dir if cache_dir is not None else _os_c.environ.get("DS2I_ENGINE_CACHE")
         self._cache_key = None  # computed lazily from index identity
 
-        self.norm_lens = (
-            jnp.asarray(wdata.norm_lens) if wdata is not None else jnp.ones(self.num_docs, jnp.float32)
+        # host copy kept so init and cache-key hashing never read the
+        # device array back (the tunnel's FIRST device->host transfer
+        # costs minutes; it must happen at first fetch, not init)
+        self._norm_lens_host = (
+            np.asarray(wdata.norm_lens, dtype=np.float32)
+            if wdata is not None else np.ones(self.num_docs, np.float32)
         )
+        self.norm_lens = jnp.asarray(self._norm_lens_host)
         # provable lower bound on any bm25 doc-term weight (f>=1, nl<=max):
         # used to plan the f16 download scaling (see _part_plan)
-        nl_max = float(np.max(np.asarray(self.norm_lens))) if self.num_docs else 1.0
+        nl_max = float(np.max(self._norm_lens_host)) if self.num_docs else 1.0
         self._wmin = 1.0 / (1.0 + BM25.k1 * (1.0 - BM25.b + BM25.b * nl_max))
         # pallas decode only on a real TPU placement (the axon plugin makes
         # default_backend() report tpu even when arrays land on cpu)
@@ -515,7 +520,7 @@ class ResidentEngine:
             import hashlib
 
             hn = hashlib.blake2b(digest_size=8)
-            hn.update(np.asarray(self.norm_lens).tobytes())
+            hn.update(self._norm_lens_host.tobytes())
             key = f"{key}_{hn.hexdigest()}"
         _os.makedirs(self.cache_dir, exist_ok=True)
         return _os.path.join(self.cache_dir, f"resident_{key}_{part}.npz")
@@ -590,11 +595,13 @@ class ResidentEngine:
                 for d in self.devices
             ]
 
-    def _full_tile_orders(self):
-        """Group-major orderings (docs + freqs + blkperm) over ALL tiles —
-        the all-tiles analogue of _part_plan's layout, for init passes."""
+    def _full_tile_orders(self, utidx=None):
+        """Group-major orderings (docs + freqs + blkperm) over ALL tiles
+        (or a subset) — the tile-set analogue of _part_plan's layout, for
+        init passes."""
         nt = self.pad_tile
-        utidx = np.arange(nt, dtype=np.int64)
+        if utidx is None:
+            utidx = np.arange(nt, dtype=np.int64)
         gid = self.tile_gid_d if self.split else self.tile_gid
         stats = self.group_statics_d if self.split else self.group_statics
         groups, gtile_ids, tblk, sent_blk, nb_d = self._order_groups(utidx, gid, stats)
@@ -603,7 +610,7 @@ class ResidentEngine:
                 utidx, self.tile_gid_f, self.group_statics_f
             )
             blkperm = np.full(nb_d, 0, dtype=_I32)
-            if nt:
+            if len(utidx):
                 bpt = self.tile_blocks[utidx]
                 tot_b = int(bpt.sum())
                 bex = np.cumsum(bpt) - bpt
@@ -644,7 +651,6 @@ class ResidentEngine:
             return
         if self.normcache:
             self._ensure_norm_cache()
-        groups, gtile_ids, tblk, _, groups_f, gtile_f, blkperm = self._full_tile_orders()
         normcache = self.normcache if self.nl_blocks is not None else 0
 
         nt = self.pad_tile
@@ -652,7 +658,6 @@ class ResidentEngine:
         gblk0 = np.zeros(nt + 1, dtype=np.int64)
         np.cumsum(tb, out=gblk0[1:])
         total = int(gblk0[-1])
-        src = np.repeat(tblk, tb) + (np.arange(total, dtype=np.int64) - np.repeat(gblk0[:-1], tb))
 
         # short lists get posting-exact planner metadata (their blocks span
         # wide docid ranges); budget-capped so host memory stays bounded
@@ -668,33 +673,68 @@ class ResidentEngine:
             s_tot = int(s_nb.sum())
             s_ex = np.cumsum(s_nb) - s_nb
             short_gblks = np.repeat(lgb0_all[short_lists] - s_ex, s_nb) + np.arange(s_tot, dtype=np.int64)
-            short_rows = src[short_gblks]
             short_list_of_blk = np.repeat(short_lists, s_nb)
         else:
             short_gblks = np.zeros(0, dtype=np.int64)
-            short_rows = np.zeros(0, dtype=np.int64)
             short_list_of_blk = np.zeros(0, dtype=np.int64)
 
-        wmax_gm, dmax_gm, sdocs, sw = _blockmax_step(
-            self.docs_words, self.freqs_words, self.tiles_docs, self.tiles_freqs,
-            self.norm_lens, jnp.asarray(gtile_ids), jnp.asarray(gtile_f),
-            jnp.asarray(blkperm), jnp.asarray(short_rows.astype(np.int32)),
-            groups=tuple(groups), groups_f=tuple(groups_f),
-            num_docs=self.num_docs, pallas=self.pallas, normcache=normcache,
-            nl_blocks=self.nl_blocks if normcache else None,
-            tile_gblk0=self.tile_gblk0 if normcache else None,
-        )
-        wmax_gm, dmax_gm = np.asarray(wmax_gm), np.asarray(dmax_gm)
-        sdocs, sw = np.asarray(sdocs), np.asarray(sw)
-        self.wmax_blk = wmax_gm[src].astype(np.float32)
-        self.dmax_blk = dmax_gm[src].astype(np.int64)
+        # Chunked metadata pass: one decode call over EVERY tile would need
+        # HBM for all decoded slots at once (OOM at 50x = 100M postings).
+        # Tiles are split into contiguous runs of bounded slot count; each
+        # run decodes in its own device call and the (tile-major) metadata
+        # assembles on host — the global block range of tiles [lo, hi) is
+        # exactly gblk0[lo]:gblk0[hi].
+        wmax_all = np.zeros(total, dtype=np.float32)
+        dmax_all = np.full(total, -1, dtype=np.int64)
+        sdocs = np.full((len(short_gblks), BLOCK), np.iinfo(np.int32).max, dtype=np.int32)
+        sw = np.zeros((len(short_gblks), BLOCK), dtype=np.float32)
+        budget = max(min(int(self.max_part_slots), 1 << 25), 1 << 12)
+        slots_tile = tb * BLOCK
+        cid = (np.cumsum(slots_tile) - slots_tile) // budget if nt else np.zeros(0, np.int64)
+        cuts = np.concatenate([[0], np.nonzero(np.diff(cid))[0] + 1, [nt]]).astype(np.int64)
+        for lo, hi in zip(cuts[:-1], cuts[1:]):
+            lo, hi = int(lo), int(hi)
+            if hi <= lo:
+                continue
+            tix = np.arange(lo, hi, dtype=np.int64)
+            groups_c, gtile_c, tblk_c, _, groups_fc, gtile_fc, blkperm_c = (
+                self._full_tile_orders(tix)
+            )
+            tb_c = tb[lo:hi]
+            tot_c = int(tb_c.sum())
+            if not tot_c:
+                continue
+            bex_c = np.cumsum(tb_c) - tb_c
+            src_c = np.repeat(tblk_c, tb_c) + (
+                np.arange(tot_c, dtype=np.int64) - np.repeat(bex_c, tb_c)
+            )
+            smask = (short_gblks >= gblk0[lo]) & (short_gblks < gblk0[hi])
+            sidx = np.nonzero(smask)[0]
+            rows_c = src_c[short_gblks[sidx] - gblk0[lo]]
+            wmax_c, dmax_c, sdocs_c, sw_c = _blockmax_step(
+                self.docs_words, self.freqs_words, self.tiles_docs, self.tiles_freqs,
+                self.norm_lens, jnp.asarray(gtile_c), jnp.asarray(gtile_fc),
+                jnp.asarray(blkperm_c), jnp.asarray(rows_c.astype(np.int32)),
+                groups=tuple(groups_c), groups_f=tuple(groups_fc),
+                num_docs=self.num_docs, pallas=self.pallas, normcache=normcache,
+                nl_blocks=self.nl_blocks if normcache else None,
+                tile_gblk0=self.tile_gblk0 if normcache else None,
+            )
+            wmax_all[gblk0[lo]:gblk0[hi]] = np.asarray(wmax_c)[src_c]
+            dmax_all[gblk0[lo]:gblk0[hi]] = np.asarray(dmax_c)[src_c]
+            if len(sidx):
+                sdocs[sidx] = np.asarray(sdocs_c)
+                sw[sidx] = np.asarray(sw_c)
+
+        self.wmax_blk = wmax_all
+        self.dmax_blk = dmax_all
         self.gblk0 = gblk0
         self.tile_of_gblk = np.repeat(np.arange(nt, dtype=np.int64), tb)
 
         # short-list posting CSR keyed by list*stride+docid (globally sorted
         # since blocks arrive list-major in docid order)
         self._short_stride = np.int64(self.num_docs + 1)
-        if len(short_rows):
+        if len(short_gblks):
             valid = sdocs < self.num_docs
             lists_rep = np.repeat(short_list_of_blk, BLOCK).reshape(-1, BLOCK)
             self._short_keys = (

@@ -87,3 +87,28 @@ def test_prune_rejects_unsupported_ops():
         eng.prepare(qs, k=10, ops=("or", "and"), prune=True)
     with pytest.raises(ValueError):
         eng.prepare(qs, k=10, ops=("counts",), ranked=False, prune=True)
+
+
+def test_blockmax_chunked_build_identical():
+    """The chunked metadata pass (bounded-slot decode runs, assembled on
+    host — the 50x OOM fix) must produce byte-identical pruning metadata
+    to a single-call build."""
+    idx, wd, qs = _build("block_optpfor", seed=11, num_docs=1200, nterms=40)
+    one = ResidentEngine(idx, wd, pallas=0)  # default budget: one chunk
+    one._ensure_blockmax()
+    # tiny slot budget forces several chunks (floor-clamped to 1<<12)
+    many = ResidentEngine(idx, wd, pallas=0, max_part_slots=1 << 10)
+    many._ensure_blockmax()
+    for name in ("wmax_blk", "dmax_blk", "gblk0", "tile_of_gblk", "list_gblk0",
+                 "list_wmax", "_kth_vals", "_kth_start", "rank_blk", "qbmax",
+                 "_blk_j0", "_blk_j1", "_blk_dlo", "is_short", "_short_keys",
+                 "_short_w"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(one, name)), np.asarray(getattr(many, name)),
+            err_msg=name,
+        )
+    exact = one.ranked_or(qs, k=10)
+    pruned = many.wand(qs, k=10)
+    for a, p in zip(exact, pruned):
+        assert len(a) == len(p)
+        np.testing.assert_allclose(p, a, rtol=1e-3)
