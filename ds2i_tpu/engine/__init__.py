@@ -5,14 +5,18 @@ from .resident import ResidentEngine
 from .tile_executor import TileQueryEngine
 
 
-RESIDENT_STREAM_LIMIT = (2**31) // 8 - (1 << 20)  # bytes (i32 bit cursors)
+# ResidentEngine holds streams up to 2^36 bits = 8 GB each (tile cursors
+# are (i32 word, bit-in-word) pairs); the factory's default split point
+# keeps the combined resident bytes at half a v5e's 16 GB HBM so tile
+# tables, norm cache, and decode workspace still fit alongside.
+RESIDENT_STREAM_LIMIT = (1 << 33) - (1 << 20)  # bytes
 
 
 def make_engine(index, wdata=None, devices=None, limit=None, **kw):
     """Engine factory: a single ResidentEngine when the index fits one
     chip's resident-stream budget, else a DocShardedEngine with just
-    enough doc-range shards (each shard's stream under the 256 MB i32
-    bit-cursor limit), spread over `devices` when given."""
+    enough doc-range shards (each shard's streams under the 8 GB
+    word-cursor limit), spread over `devices` when given."""
     limit = RESIDENT_STREAM_LIMIT if limit is None else limit
     nbytes = (
         len(index.lists) if hasattr(index, "lists")
