@@ -20,7 +20,22 @@ def _load():
     _TRIED = True
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "libds2i_native.so")
     if not os.path.exists(path):
-        return None
+        # first run on a fresh machine: build in place (a few seconds with
+        # g++; DS2I_NATIVE=0 or a missing compiler falls back to Python)
+        if os.environ.get("DS2I_NATIVE") == "0":
+            return None
+        import subprocess
+        import sys
+
+        try:
+            subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "build.py")],
+                check=True, capture_output=True, timeout=300,
+            )
+        except Exception:
+            return None
+        if not os.path.exists(path):
+            return None
     try:
         lib = ctypes.CDLL(path)
         lib.ds2i_optimal_partition.restype = ctypes.c_long
