@@ -114,6 +114,19 @@ def main():
     from ds2i_tpu.engine import ResidentEngine
 
     log(f"devices: {jax.devices()}")
+
+    # Warm the tunnel's one-time first device->host readback NOW, async:
+    # it otherwise serializes into the warmup pass (measured 243s-1658s
+    # through the shared tunnel; docs/PERF.md "Tunnel first-readback").
+    # Started here it overlaps engine init + layout + compile.
+    import jax.numpy as jnp
+
+    _warm = jnp.zeros(16)
+    try:
+        _warm.copy_to_host_async()
+    except AttributeError:
+        pass
+
     t0 = time.time()
     engine = ResidentEngine(index, wdata, max_part_slots=int(os.environ.get('DS2I_BENCH_PART_SLOTS', 1 << 25)))
     log(f"engine init (resident upload + tile tables): {time.time()-t0:.1f}s")

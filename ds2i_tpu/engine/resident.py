@@ -268,11 +268,93 @@ def _blockmax_step(
 
 @partial(
     jax.jit,
-    static_argnames=(
-        "groups", "groups_f", "buckets", "sent_dir", "num_docs", "k", "ops", "tmax", "pallas",
-        "fetch16", "normcache",
-    ),
+    static_argnames=("groups", "groups_f", "num_docs", "ranked", "pallas", "normcache"),
 )
+def _decode_part(
+    docs_words, freqs_words, tiles_docs, tiles_freqs, norm_lens,
+    gtile_ids, gtile_ids_f, blkperm, groups, groups_f, num_docs,
+    ranked, pallas=0, normcache=0, nl_blocks=None, tile_gblk0=None,
+):
+    """Decode stage, jitted alone. The decoded slot tables pad to a
+    power-of-two row count so the downstream join kernels — keyed only on
+    (table rows, bucket shape, ops) — get compile-cache hits across
+    parts, plans, and even engines; the monolithic per-part step used to
+    recompile the whole pipeline for every new part layout."""
+    docs32, w32 = _decode_weight_blocks(
+        docs_words, freqs_words, tiles_docs, tiles_freqs, norm_lens,
+        gtile_ids, gtile_ids_f, blkperm, groups, groups_f, num_docs,
+        ranked=ranked, pallas=pallas, normcache=normcache,
+        nl_blocks=nl_blocks, tile_gblk0=tile_gblk0,
+    )
+    rows = docs32.shape[0]
+    rp = _pow2_at_least(rows)
+    if rp > rows:
+        docs32 = jnp.pad(docs32, ((0, rp - rows), (0, 0)), constant_values=num_docs)
+        w32 = jnp.pad(w32, ((0, rp - rows), (0, 0)))
+    return docs32, w32
+
+
+@partial(jax.jit, static_argnames=("num_docs", "k", "ops", "tmax"))
+def _join_bucket(docs32, w32, bdir, qwtab, tgtv, num_docs, k, ops, tmax):
+    """Join/score/top-k for one query bucket (all Bb rows, including the
+    sentinel-padded tail — dropped later by _pack_rows' gather)."""
+    Bb, nb_row = bdir.shape
+    L = nb_row * BLOCK
+    blkidx = bdir >> 5
+    slot = bdir & 31
+    qw = jnp.take_along_axis(qwtab, slot, axis=1)  # (Bb, L/32)
+    d = jnp.take(docs32, blkidx, axis=0).reshape(Bb, L)
+    c = (jnp.take(w32, blkidx, axis=0) * qw[:, :, None]).reshape(Bb, L)
+    sd, sc = jax.lax.sort([d, c], dimension=1, num_keys=1, is_stable=True)
+
+    real = sd < num_docs
+    nxt = jnp.concatenate([sd[:, 1:], jnp.full((Bb, 1), -1, jnp.int32)], axis=1)
+    last = sd != nxt
+    run_score = sc
+    run_cnt = real.astype(jnp.int32)
+    match = jnp.ones((Bb, L), dtype=bool)
+    for m in range(1, tmax):
+        keym = jnp.concatenate([jnp.full((Bb, m), -2, jnp.int32), sd[:, :-m]], axis=1)
+        match = match & (sd == keym)
+        cm = jnp.concatenate([jnp.zeros((Bb, m), jnp.float32), sc[:, :-m]], axis=1)
+        om = jnp.concatenate(
+            [jnp.zeros((Bb, m), jnp.int32), real[:, :-m].astype(jnp.int32)], axis=1
+        )
+        run_score = run_score + jnp.where(match, cm, 0.0)
+        run_cnt = run_cnt + jnp.where(match, om, 0)
+
+    last_real = last & real
+    tgt = tgtv[:, None]
+    and_flag = last_real & (run_cnt == tgt) & (tgt > 0)
+
+    # pack one f32 row per query: [counts?, topk_or?, topk_and?]
+    # (counts are exact in f32 up to 2^24) so each part downloads ONE array
+    res = []
+    if "counts" in ops:
+        res.append(and_flag.sum(axis=1, dtype=jnp.int32).astype(jnp.float32)[:, None])
+        res.append(last_real.sum(axis=1, dtype=jnp.int32).astype(jnp.float32)[:, None])
+    for op, flag in (("or", last_real), ("and", and_flag)):
+        if op in ops:
+            res.append(jax.lax.top_k(jnp.where(flag, run_score, NEG_INF), k)[0])
+    return jnp.concatenate(res, axis=1)
+
+
+@partial(jax.jit, static_argnames=("fetch16",))
+def _pack_rows(rows, pack_idx, fscale, fetch16):
+    """Concatenate the buckets' full outputs, gather the real query rows
+    (sentinel padding dropped), and cast for download. fetch16: downloads
+    ride f16 — 2^-11 rounding sits inside the 0.1% relative tolerance the
+    reference's own ranked tests assert (test_ranked_queries.cpp:52) and
+    halves the dominant device->host transfer. Scores are pre-scaled by
+    fscale (a host-chosen power of two, undone exactly after download) so
+    every representable score lands in f16's NORMAL range; the host plans
+    f32 instead whenever its provable score bounds don't fit (see
+    _part_plan). Counts passes stay f32 (exact to 2^24)."""
+    full = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    out = jnp.take(full, pack_idx, axis=0)
+    return (out * fscale).astype(jnp.float16) if fetch16 else out
+
+
 def _resident_step(
     docs_words,
     freqs_words,
@@ -285,90 +367,40 @@ def _resident_step(
     bucket_dir,  # tuple of i32[Bb, L/32]: (global block id << 5) | term slot
     bucket_qwtab,  # tuple of f32[Bb, tmax] per-row term-slot query weights
     bucket_tgt,  # tuple of i32[Bb]
+    pack_idx,  # i32[sum nrows]: real-row gather over the concat of buckets
     groups,  # docs-pass groups: tuple of (off, R, statics)
     groups_f,  # freqs-pass groups (empty tuple in pair mode)
-    buckets,  # tuple of (Bb, L, nrows)
-    sent_dir,  # static: packed directory value of the sentinel block
     num_docs,
     k,
     ops,
     tmax,
     pallas=0,  # 0: XLA decode, 1: pallas kernel, 2: pallas interpret (tests)
-    fetch16=0,  # downloads ride f16: 2^-11 rounding of the returned scores
-    # sits inside the 0.1% relative tolerance the reference's own ranked
-    # tests assert (test_ranked_queries.cpp:52) and halves the dominant
-    # device->host transfer. Scores are pre-scaled by fscale (a host-
-    # chosen power of two, undone exactly after download) so every
-    # representable score lands in f16's NORMAL range — tiny scores from
-    # bm25's idf epsilon path would otherwise hit subnormals, where
-    # rounding error blows past the tolerance. The host plans f32
-    # instead whenever its provable score bounds don't fit (see
-    # _part_plan). Counts passes stay f32 (exact to 2^24).
+    fetch16=0,
     fscale=None,  # f32 scalar, only read when fetch16
     normcache=0,  # per-slot norm lengths from the init-time cache (row
     # gather) instead of the per-posting random gather; exact (f32 cache)
     nl_blocks=None,  # RESIDENT f32[total_blocks, 32] (normcache mode)
     tile_gblk0=None,  # RESIDENT i32[Nt+1]: first cache row of each tile
 ):
-    docs32, w32 = _decode_weight_blocks(
+    """Orchestrates the three jitted stages (decode -> per-bucket join ->
+    pack); plain Python so each stage's compile cache is keyed only on
+    what it actually depends on."""
+    docs32, w32 = _decode_part(
         docs_words, freqs_words, tiles_docs, tiles_freqs, norm_lens,
         gtile_ids, gtile_ids_f, blkperm, groups, groups_f, num_docs,
         ranked=("or" in ops) or ("and" in ops),
         pallas=pallas, normcache=normcache, nl_blocks=nl_blocks,
         tile_gblk0=tile_gblk0,
     )
-
-    out = []
-    for bi, (Bb, L, nrows) in enumerate(buckets):
-        # uploads carry only the real rows; pad to the pow2 batch on device
-        bdir = jnp.concatenate(
-            [bucket_dir[bi], jnp.full((Bb - nrows, L // BLOCK), sent_dir, jnp.int32)], axis=0
-        ) if Bb > nrows else bucket_dir[bi]
-        qwtab = jnp.concatenate(
-            [bucket_qwtab[bi], jnp.zeros((Bb - nrows, bucket_qwtab[bi].shape[1]), jnp.float32)], axis=0
-        ) if Bb > nrows else bucket_qwtab[bi]
-        tgtv = jnp.concatenate(
-            [bucket_tgt[bi], jnp.zeros(Bb - nrows, jnp.int32)]
-        ) if Bb > nrows else bucket_tgt[bi]
-        blkidx = bdir >> 5
-        slot = bdir & 31
-        qw = jnp.take_along_axis(qwtab, slot, axis=1)  # (Bb, L/32)
-        d = jnp.take(docs32, blkidx, axis=0).reshape(Bb, L)
-        c = (jnp.take(w32, blkidx, axis=0) * qw[:, :, None]).reshape(Bb, L)
-        sd, sc = jax.lax.sort([d, c], dimension=1, num_keys=1, is_stable=True)
-
-        real = sd < num_docs
-        nxt = jnp.concatenate([sd[:, 1:], jnp.full((Bb, 1), -1, jnp.int32)], axis=1)
-        last = sd != nxt
-        run_score = sc
-        run_cnt = real.astype(jnp.int32)
-        match = jnp.ones((Bb, L), dtype=bool)
-        for m in range(1, tmax):
-            keym = jnp.concatenate([jnp.full((Bb, m), -2, jnp.int32), sd[:, :-m]], axis=1)
-            match = match & (sd == keym)
-            cm = jnp.concatenate([jnp.zeros((Bb, m), jnp.float32), sc[:, :-m]], axis=1)
-            om = jnp.concatenate(
-                [jnp.zeros((Bb, m), jnp.int32), real[:, :-m].astype(jnp.int32)], axis=1
-            )
-            run_score = run_score + jnp.where(match, cm, 0.0)
-            run_cnt = run_cnt + jnp.where(match, om, 0)
-
-        last_real = last & real
-        tgt = tgtv[:, None]
-        and_flag = last_real & (run_cnt == tgt) & (tgt > 0)
-
-        # pack one f32 row per query: [counts?, topk_or?, topk_and?]
-        # (counts are exact in f32 up to 2^24) so each part downloads ONE array
-        res = []
-        if "counts" in ops:
-            res.append(and_flag.sum(axis=1, dtype=jnp.int32).astype(jnp.float32)[:, None])
-            res.append(last_real.sum(axis=1, dtype=jnp.int32).astype(jnp.float32)[:, None])
-        for op, flag in (("or", last_real), ("and", and_flag)):
-            if op in ops:
-                res.append(jax.lax.top_k(jnp.where(flag, run_score, NEG_INF), k)[0])
-        row = jnp.concatenate(res, axis=1)[:nrows]  # download real rows only
-        out.append((row * fscale).astype(jnp.float16) if fetch16 else row)
-    return jnp.concatenate(out, axis=0)
+    rows = tuple(
+        _join_bucket(docs32, w32, d, q, t, num_docs=num_docs, k=k, ops=ops, tmax=tmax)
+        for d, q, t in zip(bucket_dir, bucket_qwtab, bucket_tgt)
+    )
+    return _pack_rows(
+        rows, pack_idx,
+        jnp.float32(fscale) if fscale is not None else jnp.float32(1.0),
+        fetch16,
+    )
 
 
 class ResidentEngine:
@@ -643,11 +675,10 @@ class ResidentEngine:
         if cached is not None:
             for name in ("wmax_blk", "dmax_blk", "gblk0", "tile_of_gblk",
                          "list_gblk0", "list_wmax", "_kth_vals", "_kth_start",
-                         "rank_blk", "qbmax", "_blk_j0", "_blk_j1", "_blk_dlo",
-                         "is_short", "_short_keys", "_short_w"):
+                         "rank_blk", "is_short", "_short_keys", "_short_w"):
                 setattr(self, name, cached[name.lstrip("_")])
-            self.prune_q = int(cached["prune_q"])
             self._short_stride = np.int64(cached["short_stride"])
+            self._derive_prune_tables()
             return
         if self.normcache:
             self._ensure_norm_cache()
@@ -771,45 +802,12 @@ class ResidentEngine:
             # phase-1 probe directory (top-P blocks per term)
             self.rank_blk = np.zeros(total, dtype=np.int64)
             self.rank_blk[order] = rank
-
-            # docid-bucketed per-term maxima: qbmax[l, j] bounds any
-            # doc-term weight of list l within docid bucket j — the
-            # range-aware replacement for list-level maxes in the WAND
-            # upper bound (real block-max WAND exploits docid alignment;
-            # a docid-blind Σ lmax bound prunes almost nothing)
-            # resolution bounded by memory: nl * Q * 4B <= ~64MB
-            Q = 16
-            while Q < 256 and nl * Q * 2 * 4 <= (1 << 26):
-                Q *= 2
-            self.prune_q = Q
-            dlo = np.zeros(total, dtype=np.int64)
-            if total > 1:
-                dlo[1:] = self.dmax_blk[:-1] + 1
-            dlo[np.clip(lgb0[:-1], 0, total - 1)] = 0  # each list restarts at 0
-            nd = max(self.num_docs, 1)
-            j0 = np.clip(dlo * Q // nd, 0, Q - 1)
-            j1 = np.clip(self.dmax_blk * Q // nd, 0, Q - 1)
-            span = j1 - j0 + 1
-            tot_pairs = int(span.sum())
-            bidx = np.repeat(np.arange(total, dtype=np.int64), span)
-            joff = np.arange(tot_pairs, dtype=np.int64) - np.repeat(np.cumsum(span) - span, span)
-            flat = list_of_blk[bidx] * Q + j0[bidx] + joff
-            qb = np.zeros(nl * Q, dtype=np.float32)
-            np.maximum.at(qb, flat, self.wmax_blk[bidx])
-            self.qbmax = qb.reshape(nl, Q)
-            self._blk_j0 = j0
-            self._blk_j1 = j1
-            self._blk_dlo = dlo
         else:
             self.list_wmax = np.zeros(nl, dtype=np.float32)
             self._kth_vals = np.zeros(0, dtype=np.float32)
             self._kth_start = np.zeros(nl + 1, dtype=np.int64)
             self.rank_blk = np.zeros(0, dtype=np.int64)
-            self.prune_q = 1
-            self.qbmax = np.zeros((nl, 1), dtype=np.float32)
-            self._blk_j0 = np.zeros(0, dtype=np.int64)
-            self._blk_j1 = np.zeros(0, dtype=np.int64)
-            self._blk_dlo = np.zeros(0, dtype=np.int64)
+        self._derive_prune_tables()
 
         if self.cache_dir:
             self._cache_save(
@@ -818,13 +816,88 @@ class ResidentEngine:
                 gblk0=self.gblk0, tile_of_gblk=self.tile_of_gblk,
                 list_gblk0=self.list_gblk0, list_wmax=self.list_wmax,
                 kth_vals=self._kth_vals, kth_start=self._kth_start,
-                rank_blk=self.rank_blk, qbmax=self.qbmax,
-                blk_j0=self._blk_j0, blk_j1=self._blk_j1,
-                blk_dlo=self._blk_dlo, is_short=self.is_short,
+                rank_blk=self.rank_blk, is_short=self.is_short,
                 short_keys=self._short_keys, short_w=self._short_w,
-                prune_q=np.int64(self.prune_q),
                 short_stride=np.int64(self._short_stride),
             )
+
+    def _derive_prune_tables(self):
+        """Planner tables derived from the decoded block metadata — cheap
+        host passes, rebuilt on cache load rather than persisted:
+
+          _dmax_keys / _dlo_keys  i64[total_blocks], globally sorted
+              (list-major, docids increase within a list): two
+              searchsorted calls give the EXACT range of a list's blocks
+              overlapping any docid interval — the planner analogue of
+              the reference cursor's next_geq block walk
+              (block_posting_list.hpp skipping).
+          _pyr (+ _pyr_off/_pyr_q)  per-list binary max-pyramid over
+              block maxes: max(wmax) over any block range [b0,b1] in two
+              gathers, outward-rounded to the enclosing power-of-two
+              cells (a valid upper bound; <=4x range dilation)."""
+        total = len(self.wmax_blk)
+        lgb0 = self.list_gblk0
+        nl = len(lgb0) - 1
+        stride = np.int64(self.num_docs + 1)
+        nb = np.diff(lgb0)
+        list_of_blk = np.repeat(np.arange(nl, dtype=np.int64), nb)
+        dlo = np.zeros(total, dtype=np.int64)
+        if total > 1:
+            dlo[1:] = self.dmax_blk[:-1] + 1
+        if total:
+            dlo[np.clip(lgb0[:-1], 0, total - 1)] = 0  # lists restart at 0
+        self._blk_dlo = dlo
+        self._dmax_keys = list_of_blk * stride + self.dmax_blk
+        self._dlo_keys = list_of_blk * stride + dlo
+
+        Q = np.ones(nl, dtype=np.int64)
+        pos = nb > 0
+        Q[pos] = 2 ** np.ceil(np.log2(nb[pos])).astype(np.int64)
+        off = np.zeros(nl + 1, dtype=np.int64)
+        np.cumsum(2 * Q - 1, out=off[1:])
+        pyr = np.zeros(int(off[-1]), dtype=np.float32)
+        if total:
+            rel = np.arange(total, dtype=np.int64) - lgb0[list_of_blk]
+            pyr[off[list_of_blk] + rel] = self.wmax_blk
+        # level s of list l starts at off[l] + 2*Q[l] - 2*(Q[l] >> s)
+        depth = int(np.log2(int(Q.max()))) if nl else 0
+        for s in range(1, depth + 1):
+            m = (Q >> s) >= 1
+            cells = (Q >> s)[m]
+            loff = off[:-1][m]
+            Ql = Q[m]
+            tot_c = int(cells.sum())
+            ex = np.cumsum(cells) - cells
+            j = np.arange(tot_c, dtype=np.int64) - np.repeat(ex, cells)
+            par = np.repeat(loff + 2 * Ql - 2 * cells, cells) + j
+            ch = np.repeat(loff + 2 * Ql - 4 * cells, cells) + 2 * j
+            pyr[par] = np.maximum(pyr[ch], pyr[ch + 1])
+        self._pyr = pyr
+        self._pyr_off = off[:-1]
+        self._pyr_q = Q
+
+    def _blk_overlap(self, lists, dlo_e, dhi_e):
+        """First/last block of each list whose docid range intersects
+        [dlo_e, dhi_e] (global block ids; empty iff bf > bl). Exact at
+        block granularity for ANY list length."""
+        stride = np.int64(self.num_docs + 1)
+        bf = np.searchsorted(self._dmax_keys, lists * stride + dlo_e)
+        bl = np.searchsorted(self._dlo_keys, lists * stride + dhi_e, side="right") - 1
+        return bf, bl
+
+    def _range_ub(self, lists, b0, b1):
+        """Upper bound on max doc-term weight over blocks [b0, b1] of
+        each list (global ids within the list) via the max-pyramid."""
+        r0 = b0 - self.list_gblk0[lists]
+        r1 = b1 - self.list_gblk0[lists]
+        d = r1 - r0
+        s = np.zeros(len(d), dtype=np.int64)
+        m = d > 0
+        if np.any(m):
+            s[m] = np.floor(np.log2(d[m])).astype(np.int64) + 1
+        Q = self._pyr_q[lists]
+        start = self._pyr_off[lists] + 2 * Q - 2 * (Q >> s)
+        return np.maximum(self._pyr[start + (r0 >> s)], self._pyr[start + (r1 >> s)])
 
     def _init_ef(self, index):
         # EF-family tiles: group statics are ("ef", W, WL, T)
@@ -1020,7 +1093,9 @@ class ResidentEngine:
         ACHIEVED lower bound on the true k-th best score (each block max
         is a real doc's doc-term weight; distinct blocks, distinct docs).
         An entry (query, term t, block b) is dropped when
-            ub = qw_t*bmax(t,b) + sum_{t' != t} qw_t'*lmax(t') < theta:
+            ub = qw_t*bmax(t,b) + sum_{t' != t} qw_t'*rmax(t', b) < theta
+        (rmax = max doc-term weight of t' over b's docid range, an upper
+        bound from _blk_overlap + the block max-pyramid):
         every doc in b then has true score < theta <= true k-th score, so
         it cannot enter the top-k; docs that CAN enter keep every block
         of every their term (their ub >= their true score >= theta), so
@@ -1062,17 +1137,15 @@ class ResidentEngine:
             pexcl = np.cumsum(cnt_e) - cnt_e
             s_pair = sexcl[rowe][ent_of_pair] + (np.arange(P, dtype=np.int64) - pexcl[ent_of_pair])
             ts_pair = t[s_pair]
-            j0p = self._blk_j0[gblk_flat][ent_of_pair]
-            j1p = self._blk_j1[gblk_flat][ent_of_pair]
-            present = (self.qbmax[ts_pair, j0p] > 0) | (self.qbmax[ts_pair, j1p] > 0)
-            present |= (j1p - j0p) > 1  # wide ranges: conservative keep
+            dlo_e = self._blk_dlo[gblk_flat][ent_of_pair]
+            dhi_e = self.dmax_blk[gblk_flat][ent_of_pair]
+            bf, bl = self._blk_overlap(ts_pair, dlo_e, dhi_e)
+            present = bf <= bl  # block-exact range overlap
             sp = self.is_short[ts_pair]
             if np.any(sp):
-                dlo_p = self._blk_dlo[gblk_flat][ent_of_pair][sp]
-                dhi_p = self.dmax_blk[gblk_flat][ent_of_pair][sp]
                 base = ts_pair[sp] * self._short_stride
-                lo = np.searchsorted(self._short_keys, base + dlo_p)
-                hi = np.searchsorted(self._short_keys, base + dhi_p + 1)
+                lo = np.searchsorted(self._short_keys, base + dlo_e[sp])
+                hi = np.searchsorted(self._short_keys, base + dhi_e[sp] + 1)
                 present[sp] = hi > lo  # posting-exact overlap
             present[missing[s_pair]] = False  # absent term: empty AND
             own = s_pair == span_of_blk[ent_of_pair]
@@ -1096,10 +1169,12 @@ class ResidentEngine:
                 # so their k-th best is a valid (usually far tighter) bound
                 theta = np.maximum(theta, theta_override)
 
-            # range-aware rest bound: entry e (span s0, docid buckets
-            # [j0,j1]) takes, for every OTHER span s of its row,
-            # qw_s * max(qbmax[t_s, j0..j1]) — other terms can only add
-            # score where their docids overlap this block's range
+            # range-aware rest bound: entry e (docid range [dlo, dhi])
+            # takes, for every OTHER span s of its row, qw_s * max doc-term
+            # weight of t_s over the blocks overlapping [dlo, dhi] — other
+            # terms can only add score where their docids land in this
+            # block's range (block-max WAND's docid alignment, exact at
+            # block granularity via _blk_overlap + pyramid range max)
             rowe = span_row[span_of_blk]
             sexcl = np.cumsum(counts) - counts
             cnt_e = counts[rowe]
@@ -1108,28 +1183,27 @@ class ResidentEngine:
             pexcl = np.cumsum(cnt_e) - cnt_e
             s_pair = sexcl[rowe][ent_of_pair] + (np.arange(P, dtype=np.int64) - pexcl[ent_of_pair])
             ts_pair = t[s_pair]
-            j0p = self._blk_j0[gblk_flat][ent_of_pair]
-            j1p = self._blk_j1[gblk_flat][ent_of_pair]
-            v = np.maximum(self.qbmax[ts_pair, j0p], self.qbmax[ts_pair, j1p])
-            wide = (j1p - j0p) > 1
-            if np.any(wide):
-                v[wide] = self.list_wmax[ts_pair[wide]]  # safe fallback
+            dlo_e = self._blk_dlo[gblk_flat][ent_of_pair]
+            dhi_e = self.dmax_blk[gblk_flat][ent_of_pair]
+            bf, bl = self._blk_overlap(ts_pair, dlo_e, dhi_e)
+            has = bf <= bl
+            v = np.zeros(P, dtype=np.float32)
+            if np.any(has):
+                v[has] = self._range_ub(ts_pair[has], bf[has], bl[has])
             # short other-terms: posting-exact overlap against the entry's
-            # docid range (their wide blocks make bucket bounds useless)
+            # docid range (their blocks span wide docid ranges)
             sp = self.is_short[ts_pair] & ~missing[s_pair]
             if np.any(sp):
-                dlo_p = self._blk_dlo[gblk_flat][ent_of_pair][sp]
-                dhi_p = self.dmax_blk[gblk_flat][ent_of_pair][sp]
                 base = ts_pair[sp] * self._short_stride
-                lo = np.searchsorted(self._short_keys, base + dlo_p)
-                hi = np.searchsorted(self._short_keys, base + dhi_p + 1)
+                lo = np.searchsorted(self._short_keys, base + dlo_e[sp])
+                hi = np.searchsorted(self._short_keys, base + dhi_e[sp] + 1)
                 cnt = hi - lo
                 vs = np.where(
                     cnt == 0, np.float32(0.0),
                     np.where(
                         cnt == 1,
                         self._short_w[np.clip(lo, 0, max(len(self._short_w) - 1, 0))],
-                        self.list_wmax[ts_pair[sp]],
+                        v[sp],
                     ),
                 )
                 v[sp] = vs
@@ -1261,12 +1335,21 @@ class ResidentEngine:
             row_in_bucket[rows] = np.arange(len(rows))
             Bb = _pow2_at_least(len(rows), lo=1)
             nr = len(rows)
-            bdir = np.full((nr, int(L) // BLOCK), sent_blk << 5, dtype=_I32)
-            qwtab = np.zeros((nr, tmax), dtype=_F32)
-            tgt = counts[rows].astype(_I32)
+            # full Bb rows (sentinel/zero tail) so the join kernel's
+            # compile key is the pow2 bucket shape, shared across parts
+            bdir = np.full((Bb, int(L) // BLOCK), sent_blk << 5, dtype=_I32)
+            qwtab = np.zeros((Bb, tmax), dtype=_F32)
+            tgt = np.zeros(Bb, dtype=_I32)
+            tgt[:nr] = counts[rows].astype(_I32)
             plan_buckets.append(
                 {"L": int(L), "Bb": Bb, "rows": qids[rows], "dir": bdir, "qwtab": qwtab, "tgt": tgt}
             )
+        # real-row gather over the concatenation of the buckets' Bb rows
+        bb_off = np.cumsum([0] + [pb["Bb"] for pb in plan_buckets])
+        pack_idx = np.concatenate(
+            [o + np.arange(len(pb["rows"]), dtype=np.int64)
+             for o, pb in zip(bb_off[:-1], plan_buckets)]
+        ).astype(_I32) if plan_buckets else np.zeros(0, dtype=_I32)
         if len(terms):
             b_of_span = bucket_of_row[span_row]
             r_of_span = row_in_bucket[span_row]
@@ -1309,6 +1392,7 @@ class ResidentEngine:
             "groups": tuple(groups),
             "groups_f": tuple(groups_f),
             "buckets": plan_buckets,
+            "pack_idx": pack_idx,
             "sent_dir": int(sent_blk << 5),
             "k": k,
             "ops": ops,
@@ -1454,8 +1538,9 @@ class ResidentEngine:
                     tuple(put(b["dir"]) for b in bb),
                     tuple(put(b["qwtab"]) for b in bb),
                     tuple(put(b["tgt"]) for b in bb),
+                    put(p["pack_idx"]),
                 )
-            d_gt, d_gf, d_bp, d_dir, d_qw, d_tgt = cache[dk]
+            d_gt, d_gf, d_bp, d_dir, d_qw, d_tgt, d_pidx = cache[dk]
             out = _resident_step(
                 dw,
                 fw,
@@ -1468,10 +1553,9 @@ class ResidentEngine:
                 d_dir,
                 d_qw,
                 d_tgt,
+                d_pidx,
                 groups=p["groups"],
                 groups_f=p["groups_f"],
-                buckets=tuple((b["Bb"], b["L"], len(b["rows"])) for b in bb),
-                sent_dir=p["sent_dir"],
                 num_docs=self.num_docs,
                 k=p["k"],
                 ops=p["ops"],

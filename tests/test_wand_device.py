@@ -80,6 +80,42 @@ def test_ranked_and_skip_matches_exhaustive(tname):
         np.testing.assert_allclose(p, a, rtol=1e-3, err_msg=f"q{i}")
 
 
+def test_overlap_and_pyramid_against_bruteforce():
+    """_blk_overlap must return the exact block range intersecting a
+    docid interval, and _range_ub must upper-bound (within its stated
+    outward rounding, i.e. >=) the true range max."""
+    idx, wd, _ = _build("block_optpfor", seed=3)
+    eng = ResidentEngine(idx, wd, pallas=0)
+    eng._ensure_blockmax()
+    rng = np.random.RandomState(0)
+    nl = len(eng.list_gblk0) - 1
+    lists, dlos, dhis = [], [], []
+    for _ in range(500):
+        l = rng.randint(nl)
+        a, b = sorted(rng.randint(0, eng.num_docs, 2))
+        lists.append(l), dlos.append(a), dhis.append(b)
+    lists = np.array(lists, dtype=np.int64)
+    dlos = np.array(dlos, dtype=np.int64)
+    dhis = np.array(dhis, dtype=np.int64)
+    bf, bl = eng._blk_overlap(lists, dlos, dhis)
+    has = bf <= bl
+    ub = np.zeros(len(lists), dtype=np.float32)
+    if np.any(has):
+        ub[has] = eng._range_ub(lists[has], bf[has], bl[has])
+    for i in range(len(lists)):
+        l0, l1 = eng.list_gblk0[lists[i]], eng.list_gblk0[lists[i] + 1]
+        inter = [
+            b for b in range(l0, l1)
+            if eng._blk_dlo[b] <= dhis[i] and eng.dmax_blk[b] >= dlos[i]
+        ]
+        if inter:
+            assert has[i] and bf[i] == inter[0] and bl[i] == inter[-1], i
+            true_max = eng.wmax_blk[inter[0]:inter[-1] + 1].max()
+            assert ub[i] >= true_max - 1e-7, (i, ub[i], true_max)
+        else:
+            assert not has[i], i
+
+
 def test_prune_rejects_unsupported_ops():
     idx, wd, qs = _build("ef")
     eng = ResidentEngine(idx, wd, pallas=0)
@@ -100,9 +136,9 @@ def test_blockmax_chunked_build_identical():
     many = ResidentEngine(idx, wd, pallas=0, max_part_slots=1 << 10)
     many._ensure_blockmax()
     for name in ("wmax_blk", "dmax_blk", "gblk0", "tile_of_gblk", "list_gblk0",
-                 "list_wmax", "_kth_vals", "_kth_start", "rank_blk", "qbmax",
-                 "_blk_j0", "_blk_j1", "_blk_dlo", "is_short", "_short_keys",
-                 "_short_w"):
+                 "list_wmax", "_kth_vals", "_kth_start", "rank_blk", "_blk_dlo",
+                 "_dmax_keys", "_dlo_keys", "_pyr", "_pyr_off", "_pyr_q",
+                 "is_short", "_short_keys", "_short_w"):
         np.testing.assert_array_equal(
             np.asarray(getattr(one, name)), np.asarray(getattr(many, name)),
             err_msg=name,
