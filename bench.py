@@ -48,6 +48,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_US = 9.955 if os.environ.get("DS2I_BENCH_INDEX") == "block_mixed" else 11.125
 
 CACHE = os.environ.get("DS2I_BENCH_CACHE", "/tmp/ds2i_bench")
+# Persist derived engine state (tile tables, norm cache, block-max
+# metadata) keyed by index identity, so repeated bench runs attach in
+# seconds instead of recomputing (~150 s at 1x; docs/PERF.md
+# "Engine-state persistence"). An explicit DS2I_ENGINE_CACHE wins.
+os.environ.setdefault("DS2I_ENGINE_CACHE", os.path.join(CACHE, "engine_cache"))
 NUM_DOCS = int(os.environ.get("DS2I_BENCH_DOCS", 10_000))
 POSTINGS = int(os.environ.get("DS2I_BENCH_POSTINGS", 2_000_000))
 NUM_TERMS = int(os.environ.get("DS2I_BENCH_TERMS", 110_000))
