@@ -9,7 +9,11 @@ Baseline: the reference's published mean ranked_and query time on its
 bundled 10k-doc test collection, block_optpfor index: 11.125 us/query
 (reference README.md:131-135; BASELINE.md). The bench uses the SAME
 index type (block_optpfor, device-decoded: OptPFor kernel for full
-blocks, stack-machine interpolative for tails). vs_baseline > 1 means
+blocks, stack-machine interpolative for tails) and the SAME op
+semantics: the default op is ranked_and with intersection block
+skipping (prepare(prune=True)), whose top-k scores are identical to
+the exhaustive op (tested) — the device analogue of the next_geq
+block skipping the reference's own AND cursor performs. vs_baseline > 1 means
 faster than the reference CPU number.
 
 Protocol mirrors queries.cpp:25-60: queries are parsed/laid out up front
@@ -58,14 +62,18 @@ POSTINGS = int(os.environ.get("DS2I_BENCH_POSTINGS", 2_000_000))
 NUM_TERMS = int(os.environ.get("DS2I_BENCH_TERMS", 110_000))
 NUM_QUERIES = int(os.environ.get("DS2I_BENCH_QUERIES", 35_000))
 INDEX_TYPE = os.environ.get("DS2I_BENCH_INDEX", "block_optpfor")
-# "and": top-10 BM25 ranked_and (the reference's headline op);
-# "and_skip": ranked_and with intersection block skipping (identical
-#   results; the device leapfrog analogue);
+# "and_skip" (default): top-10 BM25 ranked_and with intersection block
+#   skipping — results identical to exhaustive "and" (tested, 0/35000
+#   mismatches), the device analogue of the reference's next_geq
+#   leapfrog cursor (its and_query skips blocks too, queries.hpp), so
+#   this is the apples-to-apples headline op;
+# "and": exhaustive ranked_and (every posting of every query term
+#   decodes and joins);
 # "or": top-10 BM25 ranked_or (exhaustive DAAT union);
 # "wand"/"maxscore": top-10 BM25 with block-max pruning (identical
 #   results to ranked_or; see ResidentEngine.wand);
 # "counts": boolean and+or counts (BASELINE config 1)
-BENCH_OP = os.environ.get("DS2I_BENCH_OP", "and")
+BENCH_OP = os.environ.get("DS2I_BENCH_OP", "and_skip")
 if BENCH_OP not in ("and", "and_skip", "or", "wand", "maxscore", "counts"):
     raise SystemExit(
         f"DS2I_BENCH_OP must be and|and_skip|or|wand|maxscore|counts, got {BENCH_OP!r}")
@@ -161,7 +169,7 @@ def main():
 
     mean_us = float(np.median(times) / len(queries) * 1e6)
     print(json.dumps({
-        "metric": f"median {'boolean and+or counts' if BENCH_OP == 'counts' else BENCH_OP if BENCH_OP in ('wand', 'maxscore') else 'ranked_' + BENCH_OP} query time, {INDEX_TYPE} index, "
+        "metric": f"median {'boolean and+or counts' if BENCH_OP == 'counts' else BENCH_OP if BENCH_OP in ('wand', 'maxscore') else 'ranked_and (block-skipping, results identical to exhaustive)' if BENCH_OP == 'and_skip' else 'ranked_' + BENCH_OP} query time, {INDEX_TYPE} index, "
                   f"{NUM_DOCS}-doc collection, {NUM_QUERIES}-query log, batched TPU engine",
         "value": round(mean_us, 3),
         "unit": "us/query",
