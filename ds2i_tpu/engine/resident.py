@@ -57,6 +57,40 @@ BPT = TILE // BLOCK  # blocks per tile
 NEG_INF = float("-inf")
 
 
+def _concat_collection(collection):
+    """Concatenate a collection's postings list-major: returns
+    (docs_all, freqs_all, list_n) int64 arrays. Vectorized for
+    BinaryFreqCollection (one fancy-index per memmapped stream, no
+    per-list Python work at scale); any iterable of (docs, freqs)
+    pairs works as a fallback."""
+    docs_obj = getattr(collection, "docs", None)
+    freqs_obj = getattr(collection, "freqs", None)
+    if docs_obj is not None and hasattr(docs_obj, "offsets"):
+        def flat(bc, skip_first=False):
+            offs = bc.offsets()[1:] if skip_first else bc.offsets()
+            starts = np.fromiter((p for p, _ in offs), dtype=np.int64, count=len(offs))
+            lens = np.fromiter((n for _, n in offs), dtype=np.int64, count=len(offs))
+            tot = int(lens.sum())
+            ex = np.cumsum(lens) - lens
+            idx = np.repeat(starts - ex, lens) + np.arange(tot, dtype=np.int64)
+            return np.asarray(bc.data[idx], dtype=np.int64), lens
+
+        docs_all, dl = flat(docs_obj, skip_first=True)
+        freqs_all, fl = flat(freqs_obj)
+        if not np.array_equal(dl, fl):
+            raise ValueError("docs/freqs sequence lengths differ")
+        return docs_all, freqs_all, dl
+    ds, fs, ln = [], [], []
+    for docs, freqs in collection:
+        ds.append(np.asarray(docs, dtype=np.int64))
+        fs.append(np.asarray(freqs, dtype=np.int64))
+        ln.append(len(ds[-1]))
+    if not ds:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    return np.concatenate(ds), np.concatenate(fs), np.array(ln, dtype=np.int64)
+
+
 def _pow2_at_least(x, lo=1):
     v = lo
     while v < int(x):
@@ -671,14 +705,17 @@ class ResidentEngine:
                      k-th best score of any query containing the term."""
         if getattr(self, "wmax_blk", None) is not None:
             return
-        cached = self._cache_load("blockmax", with_norms=True)
-        if cached is not None:
-            for name in ("wmax_blk", "dmax_blk", "gblk0", "tile_of_gblk",
-                         "list_gblk0", "list_wmax", "_kth_vals", "_kth_start",
-                         "rank_blk", "is_short", "_short_keys", "_short_w"):
-                setattr(self, name, cached[name.lstrip("_")])
-            self._short_stride = np.int64(cached["short_stride"])
-            self._derive_prune_tables()
+        if self._attach_blockmax_cache():
+            return
+        import os as _os
+
+        src = _os.environ.get("DS2I_BLOCKMAX_FROM")
+        if src:
+            # build-time artifact path: derive the metadata from the
+            # original collection on host (create_wand_data.cpp analogue)
+            from ..io.binary_collection import BinaryFreqCollection
+
+            self.build_blockmax(BinaryFreqCollection(src))
             return
         if self.normcache:
             self._ensure_norm_cache()
@@ -692,11 +729,7 @@ class ResidentEngine:
 
         # short lists get posting-exact planner metadata (their blocks span
         # wide docid ranges); budget-capped so host memory stays bounded
-        num_lists = len(self.list_n)
-        short_max = 256
-        while short_max > 8 and int(self.list_n[self.list_n <= short_max].sum()) > (1 << 26):
-            short_max //= 2
-        self.is_short = self.list_n <= short_max
+        self._pick_short_lists()
         lgb0_all = gblk0[self.list_tile_start]
         short_lists = np.nonzero(self.is_short)[0]
         if len(short_lists):
@@ -757,24 +790,59 @@ class ResidentEngine:
                 sdocs[sidx] = np.asarray(sdocs_c)
                 sw[sidx] = np.asarray(sw_c)
 
+        # short-list posting CSR keyed by list*stride+docid (globally sorted
+        # since blocks arrive list-major in docid order)
+        if len(short_gblks):
+            valid = sdocs < self.num_docs
+            lists_rep = np.repeat(short_list_of_blk, BLOCK).reshape(-1, BLOCK)
+            short_keys = (
+                lists_rep[valid].astype(np.int64) * np.int64(self.num_docs + 1)
+                + sdocs[valid]
+            )
+            short_w = sw[valid].astype(np.float32)
+        else:
+            short_keys = np.zeros(0, dtype=np.int64)
+            short_w = np.zeros(0, dtype=np.float32)
+        self._install_blockmax(wmax_all, dmax_all, gblk0, short_keys, short_w)
+
+    def _attach_blockmax_cache(self):
+        """Attach persisted pruning metadata if present (True on hit)."""
+        cached = self._cache_load("blockmax", with_norms=True)
+        if cached is None:
+            return False
+        for name in ("wmax_blk", "dmax_blk", "gblk0", "tile_of_gblk",
+                     "list_gblk0", "list_wmax", "_kth_vals", "_kth_start",
+                     "rank_blk", "is_short", "_short_keys", "_short_w"):
+            setattr(self, name, cached[name.lstrip("_")])
+        self._short_stride = np.int64(cached["short_stride"])
+        self._derive_prune_tables()
+        return True
+
+    def _pick_short_lists(self):
+        """Short lists get posting-exact planner metadata (their blocks
+        span wide docid ranges); budget-capped so host memory stays
+        bounded. Deterministic in list sizes alone, so the build-time
+        artifact pass (build_blockmax) picks the identical set."""
+        short_max = 256
+        while short_max > 8 and int(self.list_n[self.list_n <= short_max].sum()) > (1 << 26):
+            short_max //= 2
+        self.is_short = self.list_n <= short_max
+
+    def _install_blockmax(self, wmax_all, dmax_all, gblk0, short_keys, short_w):
+        """Install per-block metadata + every derived planner table, then
+        persist. Shared by the device decode pass (_ensure_blockmax) and
+        the host build-time pass (build_blockmax) so their artifacts are
+        identical by construction."""
+        nt = self.pad_tile
+        tb = self.tile_blocks[:nt]
+        total = int(gblk0[-1])
         self.wmax_blk = wmax_all
         self.dmax_blk = dmax_all
         self.gblk0 = gblk0
         self.tile_of_gblk = np.repeat(np.arange(nt, dtype=np.int64), tb)
-
-        # short-list posting CSR keyed by list*stride+docid (globally sorted
-        # since blocks arrive list-major in docid order)
         self._short_stride = np.int64(self.num_docs + 1)
-        if len(short_gblks):
-            valid = sdocs < self.num_docs
-            lists_rep = np.repeat(short_list_of_blk, BLOCK).reshape(-1, BLOCK)
-            self._short_keys = (
-                lists_rep[valid].astype(np.int64) * self._short_stride + sdocs[valid]
-            )
-            self._short_w = sw[valid].astype(np.float32)
-        else:
-            self._short_keys = np.zeros(0, dtype=np.int64)
-            self._short_w = np.zeros(0, dtype=np.float32)
+        self._short_keys = short_keys
+        self._short_w = short_w
 
         # per-list ranges in global block space (a list's tiles, hence its
         # blocks, are contiguous)
@@ -820,6 +888,77 @@ class ResidentEngine:
                 short_keys=self._short_keys, short_w=self._short_w,
                 short_stride=np.int64(self._short_stride),
             )
+
+    def build_blockmax(self, collection):
+        """Build the WAND/MaxScore pruning metadata from the ORIGINAL
+        collection on host — the build-time-artifact path the reference
+        uses for its ranking metadata (create_wand_data.cpp,
+        wand_data.hpp:20-53): the builder already knows every block's
+        docids and freqs, so deriving (block max weight, block max docid)
+        costs seconds instead of the device pass's decode of every tile.
+        Identical arrays to _ensure_blockmax's device pass (tested); the
+        per-posting weights use the same f32 expression the device decode
+        evaluates (BM25.doc_term_weight == _decode_weight_blocks).
+
+        collection: a BinaryFreqCollection or any iterable of
+        (docs, freqs) pairs in index list order. No-op when metadata is
+        already attached or cached."""
+        if getattr(self, "wmax_blk", None) is not None:
+            return
+        if self._attach_blockmax_cache():
+            return
+        import time as _time
+
+        t0 = _time.time()
+        docs_all, freqs_all, list_n = _concat_collection(collection)
+        if not np.array_equal(list_n, self.list_n):
+            raise ValueError(
+                "collection does not match the index (per-list posting "
+                "counts differ); build_blockmax needs the collection the "
+                "index was built from"
+            )
+        w_all = BM25.doc_term_weight(freqs_all, self._norm_lens_host[docs_all])
+
+        nt = self.pad_tile
+        nvals = self.tiles.docs[:, F_NVALS].astype(np.int64)
+        tb = self.tile_blocks[:nt]
+        gblk0 = np.zeros(nt + 1, dtype=np.int64)
+        np.cumsum(tb, out=gblk0[1:])
+        total = int(gblk0[-1])
+
+        # engine block b = 32-slot run of its tile; tiles cover each
+        # list's postings contiguously in order (tiles.py value-aligned
+        # cut), so block b of tile t covers postings
+        # [pbase[t] + 32*j, min(+32, pbase[t] + nvals[t])) globally.
+        pbase = np.cumsum(nvals) - nvals
+        if total:
+            bex = np.cumsum(tb) - tb
+            block_tile = np.repeat(np.arange(nt, dtype=np.int64), tb)
+            j_in_tile = np.arange(total, dtype=np.int64) - bex[block_tile]
+            bstart = pbase[block_tile] + BLOCK * j_in_tile
+            bend = np.minimum(bstart + BLOCK, pbase[block_tile] + nvals[block_tile])
+            wmax_all = np.maximum.reduceat(w_all, bstart).astype(np.float32)
+            dmax_all = docs_all[bend - 1].astype(np.int64)
+        else:
+            wmax_all = np.zeros(0, dtype=np.float32)
+            dmax_all = np.zeros(0, dtype=np.int64)
+
+        self._pick_short_lists()
+        list_of_posting = np.repeat(
+            np.arange(len(self.list_n), dtype=np.int64), self.list_n
+        )
+        sel = self.is_short[list_of_posting]
+        short_keys = (
+            list_of_posting[sel] * np.int64(self.num_docs + 1)
+            + docs_all[sel].astype(np.int64)
+        )
+        short_w = w_all[sel].astype(np.float32)
+        self._install_blockmax(wmax_all, dmax_all, gblk0, short_keys, short_w)
+        import os as _os
+
+        if _os.environ.get("DS2I_ENGINE_DEBUG"):
+            print(f"[resident] blockmax host build: {_time.time()-t0:.1f}s",
+                  flush=True)
 
     def _derive_prune_tables(self):
         """Planner tables derived from the decoded block metadata — cheap
@@ -1157,6 +1296,15 @@ class ResidentEngine:
         else:
             # static theta: k-th largest block max per term (CSR; -inf when
             # the term has fewer than k blocks or k exceeds the table)
+            if k > self.PRUNE_KMAX and not getattr(self, "_kmax_warned", False):
+                from ..utils.logging import logger
+
+                logger(
+                    f"warning: k={k} exceeds PRUNE_KMAX={self.PRUNE_KMAX}: "
+                    f"per-term static thresholds are disabled (results stay "
+                    f"exact; pruning falls back to probe/range bounds only)"
+                )
+                self._kmax_warned = True
             kstart = self._kth_start[t]
             kn = self._kth_start[t + 1] - kstart
             ok = (~missing) & (kn >= k) & (k <= self.PRUNE_KMAX)
@@ -1417,7 +1565,18 @@ class ResidentEngine:
         qstart = qend - counts
         tmax = _pow2_at_least(int(counts.max()) if len(counts) else 1, lo=2)
         if tmax > 32:
-            raise ValueError("ResidentEngine supports at most 32 unique terms per query")
+            # the block directory packs the term slot into 5 bits next to
+            # the block id ((blk << 5) | slot, _join_bucket), so a row
+            # joins at most 32 unique terms; the reference has no such
+            # cap but its query logs top out far below it (documented in
+            # docs/PARITY.md "Engine limits")
+            bad = int(np.argmax(counts > 32))
+            raise ValueError(
+                f"ResidentEngine supports at most 32 unique terms per "
+                f"query (query {bad} has {int(counts[bad])}); split the "
+                f"query or use the cursor engines (queries/*) which have "
+                f"no term cap"
+            )
 
         # part splitting by bucketed slot budget
         qslots = np.zeros(len(queries), dtype=np.int64)

@@ -131,9 +131,19 @@ class DocShardedEngine:
                 )
             )
 
-    def prepare(self, queries, k=10, ops=("or", "and"), ranked=True):
+    def prepare(self, queries, k=10, ops=("or", "and"), ranked=True, prune=False):
+        """prune=True applies each shard's block-max pruning independently
+        (queries.hpp:200-319 wand semantics at any index size): doc ranges
+        are disjoint, so a per-shard threshold — including each shard's
+        phase-1 probe threshold — is valid for that shard's docs, each
+        shard's pruned top-k equals its exhaustive top-k exactly, and the
+        k-way merge of exact per-range top-k lists is the exact global
+        top-k."""
         return {
-            "shards": [e.prepare(queries, k=k, ops=ops, ranked=ranked) for e in self.engines],
+            "shards": [
+                e.prepare(queries, k=k, ops=ops, ranked=ranked, prune=prune)
+                for e in self.engines
+            ],
             "k": k,
             "ops": tuple(ops),
             "n": len(queries),
@@ -164,8 +174,10 @@ class DocShardedEngine:
             merged.append((and_c, or_c, topk(2), topk(3)))
         return merged
 
-    def run(self, queries, k=10, ops=("or", "and"), ranked=True):
-        return self.execute(self.prepare(queries, k=k, ops=ops, ranked=ranked))
+    def run(self, queries, k=10, ops=("or", "and"), ranked=True, prune=False):
+        return self.execute(
+            self.prepare(queries, k=k, ops=ops, ranked=ranked, prune=prune)
+        )
 
     # -- public ops (mirror ResidentEngine) ------------------------------------
 
@@ -181,8 +193,22 @@ class DocShardedEngine:
     def ranked_or(self, queries, k=10):
         return [self._topk_list(r[2]) for r in self.run(queries, k=k, ops=("or",))]
 
-    def ranked_and(self, queries, k=10):
-        return [self._topk_list(r[3]) for r in self.run(queries, k=k, ops=("and",))]
+    def ranked_and(self, queries, k=10, prune=False):
+        """prune=True skips blocks provably outside the intersection per
+        shard (device leapfrog analogue; results identical)."""
+        return [
+            self._topk_list(r[3])
+            for r in self.run(queries, k=k, ops=("and",), prune=prune)
+        ]
 
-    wand = ranked_or
-    maxscore = ranked_or
+    def wand(self, queries, k=10):
+        """Top-k OR with per-shard block-max pruning: results equal
+        ranked_or's exactly (each shard's pruned top-k is exact for its
+        disjoint doc range; the merge is exact)."""
+        return [
+            self._topk_list(r[2])
+            for r in self.run(queries, k=k, ops=("or",), prune=True)
+        ]
+
+    # maxscore_query has identical results; per-shard pruning covers both
+    maxscore = wand

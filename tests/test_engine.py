@@ -290,6 +290,20 @@ def test_doc_sharded_engine_matches_single(coll, name):
     for g, w in zip(got_or, want_or):
         np.testing.assert_allclose(g, w, rtol=1e-3)
 
+    # pruned ops: per-shard block-max pruning must merge to the exact
+    # single-engine results (disjoint doc ranges => per-shard thresholds
+    # are valid and each shard's pruned top-k is exact for its range)
+    got_w = sharded.wand(queries, k=10)
+    want_w = single.wand(queries, k=10)
+    for g, w, e in zip(got_w, want_w, want_or):
+        assert len(g) == len(e)
+        np.testing.assert_allclose(g, e, rtol=1e-3)
+        np.testing.assert_allclose(g, w, rtol=1e-3)
+    got_as = sharded.ranked_and(queries, k=10, prune=True)
+    for g, w in zip(got_as, want):
+        assert len(g) == len(w)
+        np.testing.assert_allclose(g, w, rtol=1e-3)
+
 
 @pytest.mark.parametrize("name", ["block_optpfor", "block_varint", "block_interpolative", "block_qmx", "block_mixed"])
 def test_native_block_tables_match_python(coll, name, monkeypatch):
@@ -380,3 +394,31 @@ def test_doc_sharded_from_collection(coll):
     rb = b.ranked_and(queries, k=10)
     for x, y in zip(ra, rb):
         np.testing.assert_allclose(x, y, rtol=1e-6)
+
+
+def test_engine_term_cap_raises(coll):
+    """The block directory packs term slots into 5 bits, so >32 unique
+    terms per query must raise with a clear message (documented limit;
+    the cursor engines have no cap)."""
+    c, index = build(coll, "ef")
+    engine = ResidentEngine(index)
+    ok = list(range(32))
+    assert engine.and_counts([ok]).shape == (1,)
+    with pytest.raises(ValueError, match="32 unique terms"):
+        engine.prepare([list(range(33))], ops=("counts",), ranked=False)
+
+
+def test_prune_kmax_fallback_exact(coll, capsys):
+    """k > PRUNE_KMAX disables per-term static thresholds; pruned results
+    must still equal the exhaustive op, and the engine must say so."""
+    c, index = build(coll, "ef")
+    wdata = WandData.build(read_sizes(coll), c)
+    engine = ResidentEngine(index, wdata)
+    engine.PRUNE_KMAX = 4  # instance override, before first blockmax build
+    queries = read_queries(coll + ".queries")[:12]
+    got = engine.wand(queries, k=8)
+    want = engine.ranked_or(queries, k=8)
+    for g, w in zip(got, want):
+        assert len(g) == len(w)
+        np.testing.assert_allclose(g, w, rtol=1e-3)
+    assert "PRUNE_KMAX" in capsys.readouterr().err

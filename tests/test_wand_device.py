@@ -11,7 +11,7 @@ from ds2i_tpu.index.types import make_index_type
 from ds2i_tpu.queries.wand_data import WandData
 
 
-def _build(tname, seed=5, num_docs=4000, nterms=150):
+def _build(tname, seed=5, num_docs=4000, nterms=150, return_lists=False):
     rng = np.random.RandomState(seed)
     sizes = rng.randint(50, 400, num_docs).astype(np.int64)
     lens = np.maximum(
@@ -36,6 +36,8 @@ def _build(tname, seed=5, num_docs=4000, nterms=150):
     qs = [list(np.unique(rng.choice(nterms, size=rng.randint(1, 6), p=p)))
           for _ in range(48)]
     qs += [[int(np.argmin(lens)), int(np.argmax(lens))], [0], [1, 1, 2]]
+    if return_lists:
+        return idx, wd, qs, lists
     return idx, wd, qs
 
 
@@ -148,3 +150,43 @@ def test_blockmax_chunked_build_identical():
     for a, p in zip(exact, pruned):
         assert len(a) == len(p)
         np.testing.assert_allclose(p, a, rtol=1e-3)
+
+
+BLOCKMAX_FIELDS = (
+    "wmax_blk", "dmax_blk", "gblk0", "tile_of_gblk", "list_gblk0",
+    "list_wmax", "_kth_vals", "_kth_start", "rank_blk", "_blk_dlo",
+    "_dmax_keys", "_dlo_keys", "_pyr", "_pyr_off", "_pyr_q",
+    "is_short", "_short_keys", "_short_w",
+)
+
+
+@pytest.mark.parametrize("tname", ["ef", "opt", "block_optpfor"])
+def test_blockmax_host_build_identical(tname):
+    """The build-time artifact pass (build_blockmax: per-block maxes
+    derived from the original collection on host, create_wand_data.cpp
+    analogue) must produce byte-identical pruning metadata to the device
+    decode pass, and identical pruned results."""
+    idx, wd, qs, lists = _build(tname, seed=7, num_docs=1500, nterms=60,
+                                return_lists=True)
+    dev = ResidentEngine(idx, wd, pallas=0)
+    dev._ensure_blockmax()
+    host = ResidentEngine(idx, wd, pallas=0)
+    host.build_blockmax(lists)
+    for name in BLOCKMAX_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(dev, name)), np.asarray(getattr(host, name)),
+            err_msg=name,
+        )
+    exact = dev.ranked_or(qs, k=10)
+    pruned = host.wand(qs, k=10)
+    for a, p in zip(exact, pruned):
+        assert len(a) == len(p)
+        np.testing.assert_allclose(p, a, rtol=1e-3)
+
+
+def test_blockmax_host_build_rejects_wrong_collection():
+    idx, wd, qs, lists = _build("ef", seed=3, num_docs=800, nterms=30,
+                                return_lists=True)
+    eng = ResidentEngine(idx, wd, pallas=0)
+    with pytest.raises(ValueError):
+        eng.build_blockmax(lists[:-1])
