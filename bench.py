@@ -51,6 +51,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # against the block_optpfor headline
 BASELINE_US = 9.955 if os.environ.get("DS2I_BENCH_INDEX") == "block_mixed" else 11.125
 
+# Measured same-machine baseline (BASELINE.md "Measured same-machine CPU
+# baselines": the native C++ cursor engine, `tools/queries.py --engine
+# native`, running the reference's own block-cursor algorithms on this
+# machine's CPU) — the honest denominator, per scale and op family.
+# vs_baseline_measured > 1 means the TPU engine beats the reference's
+# algorithms on modern local silicon, not just the 2014 published number.
+_MEASURED_US = {  # num_docs -> {op_family: us/query}
+    10_000: {"and": 2.42, "or": 7.29},
+    100_000: {"and": 3.63, "or": 14.63},
+    500_000: {"and": 5.49, "or": 36.93},
+}
+
 CACHE = os.environ.get("DS2I_BENCH_CACHE", "/tmp/ds2i_bench")
 # Persist derived engine state (tile tables, norm cache, block-max
 # metadata) keyed by index identity, so repeated bench runs attach in
@@ -63,10 +75,13 @@ NUM_TERMS = int(os.environ.get("DS2I_BENCH_TERMS", 110_000))
 NUM_QUERIES = int(os.environ.get("DS2I_BENCH_QUERIES", 35_000))
 INDEX_TYPE = os.environ.get("DS2I_BENCH_INDEX", "block_optpfor")
 # "and_skip" (default): top-10 BM25 ranked_and with intersection block
-#   skipping — results identical to exhaustive "and" (tested, 0/35000
-#   mismatches), the device analogue of the reference's next_geq
-#   leapfrog cursor (its and_query skips blocks too, queries.hpp), so
-#   this is the apples-to-apples headline op;
+#   skipping — results identical to exhaustive "and": the in-repo parity
+#   test is tests/test_wand_device.py::test_ranked_and_skip_matches_
+#   exhaustive (synthetic queries, rtol=1e-3); DS2I_BENCH_VERIFY=1
+#   additionally runs BOTH ops at bench scale here and asserts the full
+#   query log's top-k matches. This is the device analogue of the
+#   reference's next_geq leapfrog cursor (its and_query skips blocks
+#   too, queries.hpp), so it is the apples-to-apples headline op;
 # "and": exhaustive ranked_and (every posting of every query term
 #   decodes and joins);
 # "or": top-10 BM25 ranked_or (exhaustive DAAT union);
@@ -167,14 +182,39 @@ def main():
         log(f"run {run}: {dt:.3f}s for {len(queries)} queries "
             f"({dt / len(queries) * 1e6:.2f} us/query)")
 
+    if os.environ.get("DS2I_BENCH_VERIFY") and BENCH_OP in ("and_skip", "wand", "maxscore"):
+        # full-log verification: the pruned op's top-k must match the
+        # exhaustive op's on every query (the reference's ranked-test
+        # tolerance, test_ranked_queries.cpp:52)
+        t0 = time.time()
+        exact = engine.execute(engine.prepare(queries, k=10, ops=ops, ranked=True))
+        idx_r = 3 if BENCH_OP == "and_skip" else 2
+        bad = 0
+        for r_p, r_e in zip(res, exact):
+            a, b = np.asarray(r_p[idx_r]), np.asarray(r_e[idx_r])
+            fa, fb = a[np.isfinite(a)], b[np.isfinite(b)]
+            if len(fa) != len(fb) or not np.allclose(fa, fb, rtol=1e-3):
+                bad += 1
+        log(f"verify vs exhaustive: {bad}/{len(queries)} mismatches "
+            f"({time.time()-t0:.1f}s)")
+        assert bad == 0, f"pruned op mismatched exhaustive on {bad} queries"
+
     mean_us = float(np.median(times) / len(queries) * 1e6)
-    print(json.dumps({
+    fam = "and" if BENCH_OP in ("and", "and_skip") else "or"
+    measured = _MEASURED_US.get(NUM_DOCS, {}).get(fam) if BENCH_OP != "counts" else None
+    out = {
         "metric": f"median {'boolean and+or counts' if BENCH_OP == 'counts' else BENCH_OP if BENCH_OP in ('wand', 'maxscore') else 'ranked_and (block-skipping, results identical to exhaustive)' if BENCH_OP == 'and_skip' else 'ranked_' + BENCH_OP} query time, {INDEX_TYPE} index, "
                   f"{NUM_DOCS}-doc collection, {NUM_QUERIES}-query log, batched TPU engine",
+        "op": BENCH_OP,
         "value": round(mean_us, 3),
         "unit": "us/query",
         "vs_baseline": round(BASELINE_US / mean_us, 3),
-    }))
+    }
+    if measured is not None:
+        # vs the measured same-machine native C++ cursor engine at this
+        # scale (BASELINE.md) — the number that actually has to exceed 1
+        out["vs_baseline_measured"] = round(measured / mean_us, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

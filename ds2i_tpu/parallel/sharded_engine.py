@@ -1,15 +1,25 @@
-"""Multi-chip sharded query execution over a jax.sharding.Mesh.
+"""Mesh-collective demonstration plane (dp x tp shard_map with psum).
 
-The reference is single-node (SURVEY.md §2.8: no distributed runtime); the
-TPU-native scale-out shards the batched query plane over ICI:
+SCOPE: this module is the multi-chip COLLECTIVE fixture — it exists so
+the sharding/collective path (shard_map over a Mesh, psum over ICI) is
+exercised end-to-end by tests and dryrun_multichip. It scatters into
+dense (B_local, num_docs) score/count planes, which is O(B*D) memory and
+only sensible at small num_docs.
+
+It is NOT the scale-out serving path. Sharding an inverted index by TERM
+forces a per-query cross-chip combination of partial scores keyed by
+docid (communication grows with postings touched); sharding by DOC RANGE
+keeps every query's join local to a chip and merges only k scores per
+query — strictly less ICI traffic and exact. That is why production
+engines shard by document, and why this framework's real beyond-one-chip
+path is parallel/doc_sharded.DocShardedEngine (per-shard resident
+sub-indexes, per-shard block-max pruning, exact merge), with
+ResidentEngine(devices=[...]) providing query-batch data parallelism
+over replicated state.
 
   - 'dp' axis: query batch rows (data parallel)
-  - 'tp' axis: query terms (model-parallel analog) — each shard decodes and
-    scores its term slice, partial (B_local, D) score/count planes are
-    reduced with psum over ICI, top-k computed on the reduced plane.
-
-Built with shard_map so the collectives are explicit; XLA lays psum on the
-ICI ring.
+  - 'tp' axis: query terms — each shard scores its term slice, partial
+    planes are reduced with psum over ICI, top-k on the reduced plane.
 """
 
 from functools import partial

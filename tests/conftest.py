@@ -22,3 +22,24 @@ except RuntimeError:
 def cpu_devices(n=None):
     d = jax.local_devices(backend="cpu")
     return d if n is None else d[:n]
+
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jax_compile_state():
+    """Release compiled executables between test modules.
+
+    The full suite compiles hundreds of distinct XLA-CPU programs; with
+    every executable kept alive by jit caches, two consecutive full runs
+    segfaulted inside XLA-CPU backend_compile_and_load near the end of
+    the suite (suite-order-dependent; the failing test passes alone).
+    Bounding the live-executable population between modules keeps the
+    JIT's code/memory footprint flat across the run.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
