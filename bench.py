@@ -134,6 +134,12 @@ def main():
     wdata = WandData.build(read_sizes(base), coll)
     queries = read_queries(base + ".queries")
 
+    # First-ever pruning metadata comes from the build-time artifact pass
+    # (ResidentEngine.build_blockmax: collection slots + device weight
+    # kernel — minutes at 50x) instead of the full tile decode pass
+    # (create_wand_data.cpp analogue); byte-identical metadata, tested.
+    os.environ.setdefault("DS2I_BLOCKMAX_FROM", base)
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE, "jax_cache"))

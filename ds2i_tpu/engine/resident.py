@@ -161,37 +161,39 @@ def _decode_doc_group_blocks(docs_words, df, st, R, num_docs, split):
 
 
 @partial(jax.jit, static_argnames=("groups", "num_docs", "split"))
-def _norm_cache_step(docs_words, tiles_docs, norm_lens, gtile_ids, groups, num_docs, split):
-    """One-time decode of EVERY tile's docids -> per-slot norm lengths,
-    (total_blocks, 32) f32 in the canonical group-major block order.
+def _norm_cache_step(docs_words, tiles_docs, norm_den, gtile_ids, groups, num_docs, split):
+    """One-time decode of EVERY tile's docids -> per-slot BM25
+    denominators, (total_blocks, 32) f32 in the canonical group-major
+    block order.
 
-    The per-posting norm-length gather is the engine's largest kernel
+    The per-posting denominator gather is the engine's largest kernel
     cost (it runs at the chip's random-gather rate, see docs/PERF.md);
     tiles are static, so the gather result is too. This materializes it
     once at init — the reference keeps norm_lens as an uncompressed
     per-doc side table (wand_data.hpp:20-53); this is that same side
-    table reorganized posting-aligned, 4 bytes per posting of HBM."""
+    table reorganized posting-aligned (k1*(1-b+b*norm_len) precomputed),
+    4 bytes per posting of HBM."""
     blocks = [
         _decode_doc_group_blocks(docs_words, tiles_docs[gtile_ids[off : off + R]], st, R, num_docs, split)
         for off, R, st in groups
     ]
     d = jnp.concatenate(blocks, axis=0)
-    return norm_lens[jnp.clip(d, 0, num_docs - 1)]
+    return norm_den[jnp.clip(d, 0, num_docs - 1)]
 
 
-def _cached_norm_rows(nl_blocks, tile_gblk0, ids, T):
-    """Norm-length rows for one decode group: a contiguous row gather
+def _cached_den_rows(den_blocks, tile_gblk0, ids, T):
+    """BM25-denominator rows for one decode group: a contiguous row gather
     from the init-time cache (rows of tile t live at
-    [tile_gblk0[t], +T//32) in nl_blocks)."""
+    [tile_gblk0[t], +T//32) in den_blocks)."""
     bpt = max(T // BLOCK, 1)
     idx = tile_gblk0[ids][:, None] + jnp.arange(bpt, dtype=jnp.int32)[None, :]
-    return jnp.take(nl_blocks, idx.reshape(-1), axis=0)  # (R*bpt, 32)
+    return jnp.take(den_blocks, idx.reshape(-1), axis=0)  # (R*bpt, 32)
 
 
 def _decode_weight_blocks(
-    docs_words, freqs_words, tiles_docs, tiles_freqs, norm_lens,
+    docs_words, freqs_words, tiles_docs, tiles_freqs, norm_den,
     gtile_ids, gtile_ids_f, blkperm, groups, groups_f, num_docs,
-    ranked, pallas=0, normcache=0, nl_blocks=None, tile_gblk0=None,
+    ranked, pallas=0, normcache=0, den_blocks=None, tile_gblk0=None,
 ):
     """Decode every tile of the part into 32-slot block rows: returns
     (docs32, w32) — (total_blocks, 32) docids (pads carry num_docs) and
@@ -201,14 +203,14 @@ def _decode_weight_blocks(
         # SPLIT mode (block indexes): each stream decodes in its own
         # group-major order; freq blocks realign to docs order by one
         # contiguous block-row gather.
-        d_blocks, f_blocks, nl_rows = [], [], []
+        d_blocks, f_blocks, den_rows = [], [], []
         for off, R, st in groups:
             ids = gtile_ids[off : off + R]
             d_blocks.append(
                 _decode_doc_group_blocks(docs_words, tiles_docs[ids], st, R, num_docs, split=True)
             )
             if ranked and normcache:
-                nl_rows.append(_cached_norm_rows(nl_blocks, tile_gblk0, ids, st[-1]))
+                den_rows.append(_cached_den_rows(den_blocks, tile_gblk0, ids, st[-1]))
         for off, R, st in groups_f:
             ids = gtile_ids_f[off : off + R]
             ff = tiles_freqs[ids]
@@ -224,11 +226,13 @@ def _decode_weight_blocks(
         freq32 = freq32.astype(jnp.float32)
         if ranked:
             if normcache:
-                nl = jnp.concatenate(nl_rows, axis=0)
+                den = jnp.concatenate(den_rows, axis=0)
             else:
-                nl = norm_lens[jnp.clip(docs32, 0, num_docs - 1)]
-            k1, b = jnp.float32(BM25.k1), jnp.float32(BM25.b)
-            w = freq32 / (freq32 + k1 * (jnp.float32(1.0) - b + b * nl))
+                den = norm_den[jnp.clip(docs32, 0, num_docs - 1)]
+            # one f32 add + one f32 divide: no multiply, so no backend can
+            # FMA-contract — bit-identical to the host numpy expression in
+            # build_blockmax (the denominator is precomputed per doc)
+            w = freq32 / (freq32 + den)
             w = jnp.where(docs32 < num_docs, w, 0.0)
         else:
             w = jnp.where(docs32 < num_docs, 1.0, 0.0)
@@ -258,11 +262,10 @@ def _decode_weight_blocks(
             freq = jnp.where(valid, fv - prev, 0).astype(jnp.float32)
         if ranked:
             if normcache:
-                nl = _cached_norm_rows(nl_blocks, tile_gblk0, ids, T).reshape(R, T)
+                den = _cached_den_rows(den_blocks, tile_gblk0, ids, T).reshape(R, T)
             else:
-                nl = norm_lens[jnp.clip(doc, 0, num_docs - 1)]
-            k1, b = jnp.float32(BM25.k1), jnp.float32(BM25.b)
-            w = freq / (freq + k1 * (jnp.float32(1.0) - b + b * nl))
+                den = norm_den[jnp.clip(doc, 0, num_docs - 1)]
+            w = freq / (freq + den)  # add+div only, see SPLIT branch note
         else:
             w = jnp.where(doc < num_docs, 1.0, 0.0)
         docs_blocks.append(doc.reshape(R * (T // BLOCK), BLOCK))
@@ -275,9 +278,9 @@ def _decode_weight_blocks(
     static_argnames=("groups", "groups_f", "num_docs", "pallas", "normcache"),
 )
 def _blockmax_step(
-    docs_words, freqs_words, tiles_docs, tiles_freqs, norm_lens,
+    docs_words, freqs_words, tiles_docs, tiles_freqs, norm_den,
     gtile_ids, gtile_ids_f, blkperm, short_rows, groups, groups_f, num_docs,
-    pallas=0, normcache=0, nl_blocks=None, tile_gblk0=None,
+    pallas=0, normcache=0, den_blocks=None, tile_gblk0=None,
 ):
     """One-time decode of EVERY tile -> per-32-block (max doc-term weight,
     max docid), each (total_blocks,) in the part's group-major block
@@ -288,16 +291,34 @@ def _blockmax_step(
     blocks with range-aware bounds (queries.hpp:200-319 wand, :478-591
     maxscore semantics)."""
     docs32, w32 = _decode_weight_blocks(
-        docs_words, freqs_words, tiles_docs, tiles_freqs, norm_lens,
+        docs_words, freqs_words, tiles_docs, tiles_freqs, norm_den,
         gtile_ids, gtile_ids_f, blkperm, groups, groups_f, num_docs,
         ranked=True, pallas=pallas, normcache=normcache,
-        nl_blocks=nl_blocks, tile_gblk0=tile_gblk0,
+        den_blocks=den_blocks, tile_gblk0=tile_gblk0,
     )
     dmax = jnp.where(docs32 < num_docs, docs32, -1).max(axis=1)
+    dmin = docs32[:, 0]  # slot 0 is the block's first (smallest) docid
     # short lists additionally surface their raw (docid, weight) slots so
     # the planner can do posting-exact overlap bounds for them (their
     # blocks span wide docid ranges, making block-level bounds useless)
-    return w32.max(axis=1), dmax, docs32[short_rows], w32[short_rows]
+    return w32.max(axis=1), dmax, dmin, docs32[short_rows], w32[short_rows]
+
+
+@partial(jax.jit, static_argnames=("num_docs",))
+def _slots_weight_step(doc32, freq32, norm_den, short_rows, num_docs):
+    """Elementwise twin of _decode_weight_blocks' scoring epilogue for the
+    build-time artifact pass (build_blockmax): the same backend expression
+    (denominator gather, f32 add + divide, zero pads, axis-1 block max)
+    over collection-extracted slot planes instead of decoded ones. The
+    divide MUST run on the same backend as serving: XLA lowers f32 divide
+    via reciprocal + refinement, which differs from IEEE numpy by 1 ulp on
+    ~half of all values — computing the artifact's weights with numpy
+    would make pruning thresholds inconsistent with the scores the engine
+    actually computes."""
+    den = norm_den[jnp.clip(doc32, 0, num_docs - 1)]
+    w = freq32 / (freq32 + den)
+    w = jnp.where(doc32 < num_docs, w, 0.0)
+    return w.max(axis=1), jnp.take(w, short_rows, axis=0)
 
 
 @partial(
@@ -305,9 +326,9 @@ def _blockmax_step(
     static_argnames=("groups", "groups_f", "num_docs", "ranked", "pallas", "normcache"),
 )
 def _decode_part(
-    docs_words, freqs_words, tiles_docs, tiles_freqs, norm_lens,
+    docs_words, freqs_words, tiles_docs, tiles_freqs, norm_den,
     gtile_ids, gtile_ids_f, blkperm, groups, groups_f, num_docs,
-    ranked, pallas=0, normcache=0, nl_blocks=None, tile_gblk0=None,
+    ranked, pallas=0, normcache=0, den_blocks=None, tile_gblk0=None,
 ):
     """Decode stage, jitted alone. The decoded slot tables pad to a
     power-of-two row count so the downstream join kernels — keyed only on
@@ -315,10 +336,10 @@ def _decode_part(
     parts, plans, and even engines; the monolithic per-part step used to
     recompile the whole pipeline for every new part layout."""
     docs32, w32 = _decode_weight_blocks(
-        docs_words, freqs_words, tiles_docs, tiles_freqs, norm_lens,
+        docs_words, freqs_words, tiles_docs, tiles_freqs, norm_den,
         gtile_ids, gtile_ids_f, blkperm, groups, groups_f, num_docs,
         ranked=ranked, pallas=pallas, normcache=normcache,
-        nl_blocks=nl_blocks, tile_gblk0=tile_gblk0,
+        den_blocks=den_blocks, tile_gblk0=tile_gblk0,
     )
     rows = docs32.shape[0]
     rp = _pow2_at_least(rows)
@@ -394,7 +415,7 @@ def _resident_step(
     freqs_words,
     tiles_docs,  # RESIDENT (Nt+1, N_FIELDS) i32; last row is the pad tile
     tiles_freqs,
-    norm_lens,  # RESIDENT f32[num_docs]
+    norm_den,  # RESIDENT f32[num_docs]
     gtile_ids,  # i32[Rtot] group-major tile ids, docs ordering (pads -> Nt)
     gtile_ids_f,  # i32: freqs-ordering tile ids (split mode; len 1 dummy else)
     blkperm,  # i32: docs-order block -> freqs-order block (split mode)
@@ -413,17 +434,17 @@ def _resident_step(
     fscale=None,  # f32 scalar, only read when fetch16
     normcache=0,  # per-slot norm lengths from the init-time cache (row
     # gather) instead of the per-posting random gather; exact (f32 cache)
-    nl_blocks=None,  # RESIDENT f32[total_blocks, 32] (normcache mode)
+    den_blocks=None,  # RESIDENT f32[total_blocks, 32] (normcache mode)
     tile_gblk0=None,  # RESIDENT i32[Nt+1]: first cache row of each tile
 ):
     """Orchestrates the three jitted stages (decode -> per-bucket join ->
     pack); plain Python so each stage's compile cache is keyed only on
     what it actually depends on."""
     docs32, w32 = _decode_part(
-        docs_words, freqs_words, tiles_docs, tiles_freqs, norm_lens,
+        docs_words, freqs_words, tiles_docs, tiles_freqs, norm_den,
         gtile_ids, gtile_ids_f, blkperm, groups, groups_f, num_docs,
         ranked=("or" in ops) or ("and" in ops),
-        pallas=pallas, normcache=normcache, nl_blocks=nl_blocks,
+        pallas=pallas, normcache=normcache, den_blocks=den_blocks,
         tile_gblk0=tile_gblk0,
     )
     rows = tuple(
@@ -444,7 +465,7 @@ class ResidentEngine:
     MIN_L = 64
 
     # bump when the resident table layout changes (invalidates caches)
-    CACHE_VERSION = 2
+    CACHE_VERSION = 3  # v3: norm cache stores BM25 denominators, not norm lens
 
     def __init__(self, index, wdata=None, scorer=BM25, max_part_slots=1 << 21,
                  max_part_queries=16384, pallas=None, devices=None,
@@ -476,11 +497,18 @@ class ResidentEngine:
             np.asarray(wdata.norm_lens, dtype=np.float32)
             if wdata is not None else np.ones(self.num_docs, np.float32)
         )
-        self.norm_lens = jnp.asarray(self._norm_lens_host)
-        # provable lower bound on any bm25 doc-term weight (f>=1, nl<=max):
-        # used to plan the f16 download scaling (see _part_plan)
-        nl_max = float(np.max(self._norm_lens_host)) if self.num_docs else 1.0
-        self._wmin = 1.0 / (1.0 + BM25.k1 * (1.0 - BM25.b + BM25.b * nl_max))
+        # per-doc BM25 denominator k1*(1-b+b*norm_len), precomputed ONCE in
+        # f32 on host so every weight is just f/(f+den): an add and a divide,
+        # which neither numpy nor XLA can FMA-contract — the device metadata
+        # pass, the query step, and the host build-time artifact pass
+        # (build_blockmax) therefore agree bit-for-bit (bm25.hpp:11-15)
+        self._norm_den_host = BM25.norm_denominator(self._norm_lens_host)
+        self.norm_den = jnp.asarray(self._norm_den_host)
+        # provable lower bound on any bm25 doc-term weight (f>=1, den<=max),
+        # with 1-ULP slack for the device's f32 divide: used to plan the
+        # f16 download scaling (see _part_plan)
+        den_max = float(np.max(self._norm_den_host)) if self.num_docs else 1.0
+        self._wmin = (1.0 / (1.0 + den_max)) * (1.0 - 1e-6)
         # pallas decode only on a real TPU placement (the axon plugin makes
         # default_backend() report tpu even when arrays land on cpu)
         import os as _os
@@ -515,7 +543,7 @@ class ResidentEngine:
         self.tiles_docs = with_pad(t.docs)
         self.tiles_freqs = with_pad(t.freqs)
         self.pad_tile = nt
-        self.nl_blocks = None  # built lazily by _ensure_norm_cache
+        self.den_blocks = None  # built lazily by _ensure_norm_cache
         self.tile_gblk0 = None
         self._norm_replicas = None
         self.normcache = 0 if _os.environ.get("DS2I_NORM_CACHE") == "0" else 1
@@ -526,7 +554,7 @@ class ResidentEngine:
             self._replicas = [
                 tuple(jax.device_put(a, d) for a in (
                     self.docs_words, self.freqs_words, self.tiles_docs,
-                    self.tiles_freqs, self.norm_lens,
+                    self.tiles_freqs, self.norm_den,
                 ))
                 for d in self.devices
             ]
@@ -626,14 +654,14 @@ class ResidentEngine:
                 for row in json.loads(str(s))]
 
     def _ensure_norm_cache(self):
-        """Materialize the per-slot norm-length cache (one decode of every
-        tile). Lazy: only ranked execution pays the init cost."""
-        if self.nl_blocks is not None:
+        """Materialize the per-slot BM25-denominator cache (one decode of
+        every tile). Lazy: only ranked execution pays the init cost."""
+        if self.den_blocks is not None:
             return
         cached = self._cache_load("norms", with_norms=True)
         if cached is not None:
             self.tile_gblk0 = jnp.asarray(cached["tile_gblk0"])
-            self.nl_blocks = jnp.asarray(cached["nl_blocks"])
+            self.den_blocks = jnp.asarray(cached["den_blocks"])
         else:
             nt = self.pad_tile
             utidx = np.arange(nt, dtype=np.int64)
@@ -644,20 +672,20 @@ class ResidentEngine:
             if nt:
                 g0[:nt] = tblk
             self.tile_gblk0 = jnp.asarray(g0)
-            self.nl_blocks = _norm_cache_step(
-                self.docs_words, self.tiles_docs, self.norm_lens,
+            self.den_blocks = _norm_cache_step(
+                self.docs_words, self.tiles_docs, self.norm_den,
                 jnp.asarray(gtile_ids), groups=tuple(groups),
                 num_docs=self.num_docs, split=self.split,
             )
             if self.cache_dir:
                 self._cache_save(
                     "norms", with_norms=True,
-                    nl_blocks=np.asarray(self.nl_blocks),
+                    den_blocks=np.asarray(self.den_blocks),
                     tile_gblk0=np.asarray(self.tile_gblk0),
                 )
         if self.devices:
             self._norm_replicas = [
-                (jax.device_put(self.nl_blocks, d), jax.device_put(self.tile_gblk0, d))
+                (jax.device_put(self.den_blocks, d), jax.device_put(self.tile_gblk0, d))
                 for d in self.devices
             ]
 
@@ -719,7 +747,7 @@ class ResidentEngine:
             return
         if self.normcache:
             self._ensure_norm_cache()
-        normcache = self.normcache if self.nl_blocks is not None else 0
+        normcache = self.normcache if self.den_blocks is not None else 0
 
         nt = self.pad_tile
         tb = self.tile_blocks[:nt]
@@ -730,17 +758,7 @@ class ResidentEngine:
         # short lists get posting-exact planner metadata (their blocks span
         # wide docid ranges); budget-capped so host memory stays bounded
         self._pick_short_lists()
-        lgb0_all = gblk0[self.list_tile_start]
-        short_lists = np.nonzero(self.is_short)[0]
-        if len(short_lists):
-            s_nb = (lgb0_all[short_lists + 1] - lgb0_all[short_lists])
-            s_tot = int(s_nb.sum())
-            s_ex = np.cumsum(s_nb) - s_nb
-            short_gblks = np.repeat(lgb0_all[short_lists] - s_ex, s_nb) + np.arange(s_tot, dtype=np.int64)
-            short_list_of_blk = np.repeat(short_lists, s_nb)
-        else:
-            short_gblks = np.zeros(0, dtype=np.int64)
-            short_list_of_blk = np.zeros(0, dtype=np.int64)
+        short_gblks, short_list_of_blk = self._short_block_ids(gblk0)
 
         # Chunked metadata pass: one decode call over EVERY tile would need
         # HBM for all decoded slots at once (OOM at 50x = 100M postings).
@@ -750,6 +768,7 @@ class ResidentEngine:
         # exactly gblk0[lo]:gblk0[hi].
         wmax_all = np.zeros(total, dtype=np.float32)
         dmax_all = np.full(total, -1, dtype=np.int64)
+        dmin_all = np.zeros(total, dtype=np.int64)
         sdocs = np.full((len(short_gblks), BLOCK), np.iinfo(np.int32).max, dtype=np.int32)
         sw = np.zeros((len(short_gblks), BLOCK), dtype=np.float32)
         budget = max(min(int(self.max_part_slots), 1 << 25), 1 << 12)
@@ -775,17 +794,18 @@ class ResidentEngine:
             smask = (short_gblks >= gblk0[lo]) & (short_gblks < gblk0[hi])
             sidx = np.nonzero(smask)[0]
             rows_c = src_c[short_gblks[sidx] - gblk0[lo]]
-            wmax_c, dmax_c, sdocs_c, sw_c = _blockmax_step(
+            wmax_c, dmax_c, dmin_c, sdocs_c, sw_c = _blockmax_step(
                 self.docs_words, self.freqs_words, self.tiles_docs, self.tiles_freqs,
-                self.norm_lens, jnp.asarray(gtile_c), jnp.asarray(gtile_fc),
+                self.norm_den, jnp.asarray(gtile_c), jnp.asarray(gtile_fc),
                 jnp.asarray(blkperm_c), jnp.asarray(rows_c.astype(np.int32)),
                 groups=tuple(groups_c), groups_f=tuple(groups_fc),
                 num_docs=self.num_docs, pallas=self.pallas, normcache=normcache,
-                nl_blocks=self.nl_blocks if normcache else None,
+                den_blocks=self.den_blocks if normcache else None,
                 tile_gblk0=self.tile_gblk0 if normcache else None,
             )
             wmax_all[gblk0[lo]:gblk0[hi]] = np.asarray(wmax_c)[src_c]
             dmax_all[gblk0[lo]:gblk0[hi]] = np.asarray(dmax_c)[src_c]
+            dmin_all[gblk0[lo]:gblk0[hi]] = np.asarray(dmin_c)[src_c]
             if len(sidx):
                 sdocs[sidx] = np.asarray(sdocs_c)
                 sw[sidx] = np.asarray(sw_c)
@@ -803,20 +823,38 @@ class ResidentEngine:
         else:
             short_keys = np.zeros(0, dtype=np.int64)
             short_w = np.zeros(0, dtype=np.float32)
-        self._install_blockmax(wmax_all, dmax_all, gblk0, short_keys, short_w)
+        self._install_blockmax(wmax_all, dmax_all, dmin_all, gblk0, short_keys, short_w)
 
     def _attach_blockmax_cache(self):
         """Attach persisted pruning metadata if present (True on hit)."""
         cached = self._cache_load("blockmax", with_norms=True)
         if cached is None:
             return False
-        for name in ("wmax_blk", "dmax_blk", "gblk0", "tile_of_gblk",
-                     "list_gblk0", "list_wmax", "_kth_vals", "_kth_start",
-                     "rank_blk", "is_short", "_short_keys", "_short_w"):
+        names = ("wmax_blk", "dmax_blk", "dmin_blk", "gblk0", "tile_of_gblk",
+                 "list_gblk0", "list_wmax", "_kth_vals", "_kth_start",
+                 "rank_blk", "is_short", "_short_keys", "_short_w")
+        if any(n.lstrip("_") not in cached for n in names):
+            return False  # cache from an older field set: rebuild
+        for name in names:
             setattr(self, name, cached[name.lstrip("_")])
         self._short_stride = np.int64(cached["short_stride"])
         self._derive_prune_tables()
         return True
+
+    def _short_block_ids(self, gblk0):
+        """Global block ids (and owning lists) of every short list's
+        blocks — the rows whose raw (docid, weight) slots the planner
+        keeps for posting-exact bounds. Shared by the device decode pass
+        and the build-time artifact pass so their selection is identical."""
+        lgb0_all = gblk0[self.list_tile_start]
+        short_lists = np.nonzero(self.is_short)[0]
+        if not len(short_lists):
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        s_nb = (lgb0_all[short_lists + 1] - lgb0_all[short_lists])
+        s_tot = int(s_nb.sum())
+        s_ex = np.cumsum(s_nb) - s_nb
+        short_gblks = np.repeat(lgb0_all[short_lists] - s_ex, s_nb) + np.arange(s_tot, dtype=np.int64)
+        return short_gblks, np.repeat(short_lists, s_nb)
 
     def _pick_short_lists(self):
         """Short lists get posting-exact planner metadata (their blocks
@@ -828,7 +866,7 @@ class ResidentEngine:
             short_max //= 2
         self.is_short = self.list_n <= short_max
 
-    def _install_blockmax(self, wmax_all, dmax_all, gblk0, short_keys, short_w):
+    def _install_blockmax(self, wmax_all, dmax_all, dmin_all, gblk0, short_keys, short_w):
         """Install per-block metadata + every derived planner table, then
         persist. Shared by the device decode pass (_ensure_blockmax) and
         the host build-time pass (build_blockmax) so their artifacts are
@@ -838,6 +876,7 @@ class ResidentEngine:
         total = int(gblk0[-1])
         self.wmax_blk = wmax_all
         self.dmax_blk = dmax_all
+        self.dmin_blk = dmin_all
         self.gblk0 = gblk0
         self.tile_of_gblk = np.repeat(np.arange(nt, dtype=np.int64), tb)
         self._short_stride = np.int64(self.num_docs + 1)
@@ -881,6 +920,7 @@ class ResidentEngine:
             self._cache_save(
                 "blockmax", with_norms=True,
                 wmax_blk=self.wmax_blk, dmax_blk=self.dmax_blk,
+                dmin_blk=self.dmin_blk,
                 gblk0=self.gblk0, tile_of_gblk=self.tile_of_gblk,
                 list_gblk0=self.list_gblk0, list_wmax=self.list_wmax,
                 kth_vals=self._kth_vals, kth_start=self._kth_start,
@@ -896,9 +936,16 @@ class ResidentEngine:
         wand_data.hpp:20-53): the builder already knows every block's
         docids and freqs, so deriving (block max weight, block max docid)
         costs seconds instead of the device pass's decode of every tile.
-        Identical arrays to _ensure_blockmax's device pass (tested); the
-        per-posting weights use the same f32 expression the device decode
-        evaluates (BM25.doc_term_weight == _decode_weight_blocks).
+        Bit-identical arrays to _ensure_blockmax's device pass (tested).
+        The slot layout and block maxima selection come from the host,
+        but the per-posting WEIGHTS are evaluated on device through
+        _slots_weight_step — the same backend expression the decode pass
+        and the query step use — because XLA's f32 divide is
+        reciprocal-based (1 ulp off IEEE numpy on ~half of all values)
+        and pruning thresholds must agree exactly with the scores the
+        engine computes. This pass uploads the collection's slot planes
+        once (no decode of any tile) and downloads only block maxima
+        plus short-list slots.
 
         collection: a BinaryFreqCollection or any iterable of
         (docs, freqs) pairs in index list order. No-op when metadata is
@@ -917,7 +964,6 @@ class ResidentEngine:
                 "counts differ); build_blockmax needs the collection the "
                 "index was built from"
             )
-        w_all = BM25.doc_term_weight(freqs_all, self._norm_lens_host[docs_all])
 
         nt = self.pad_tile
         nvals = self.tiles.docs[:, F_NVALS].astype(np.int64)
@@ -925,6 +971,9 @@ class ResidentEngine:
         gblk0 = np.zeros(nt + 1, dtype=np.int64)
         np.cumsum(tb, out=gblk0[1:])
         total = int(gblk0[-1])
+
+        self._pick_short_lists()
+        short_gblks, short_list_of_blk = self._short_block_ids(gblk0)
 
         # engine block b = 32-slot run of its tile; tiles cover each
         # list's postings contiguously in order (tiles.py value-aligned
@@ -937,23 +986,61 @@ class ResidentEngine:
             j_in_tile = np.arange(total, dtype=np.int64) - bex[block_tile]
             bstart = pbase[block_tile] + BLOCK * j_in_tile
             bend = np.minimum(bstart + BLOCK, pbase[block_tile] + nvals[block_tile])
-            wmax_all = np.maximum.reduceat(w_all, bstart).astype(np.float32)
             dmax_all = docs_all[bend - 1].astype(np.int64)
+            dmin_all = docs_all[bstart].astype(np.int64)
+            # (total, 32) slot planes; pad slots carry (num_docs, freq 0)
+            # exactly like the decode pass's masked output
+            npost = len(docs_all)
+            idx = bstart[:, None] + np.arange(BLOCK, dtype=np.int64)[None, :]
+            validp = idx < bend[:, None]
+            idxc = np.minimum(idx, max(npost - 1, 0))
+            doc_plane = np.where(validp, docs_all[idxc], self.num_docs).astype(np.int32)
+            freq_plane = np.where(validp, freqs_all[idxc], 0).astype(np.float32)
+            del idx, validp, idxc
+
+            wmax_all = np.zeros(total, dtype=np.float32)
+            sw = np.zeros((len(short_gblks), BLOCK), dtype=np.float32)
+            budget = max(min(int(self.max_part_slots), 1 << 25), 1 << 12)
+            cb = min(max(budget // BLOCK, 1), _pow2_at_least(total))
+            for lo in range(0, total, cb):
+                hi = min(lo + cb, total)
+                dpc, fpc = doc_plane[lo:hi], freq_plane[lo:hi]
+                if hi - lo < cb:  # fixed chunk shape: one compile
+                    padn = cb - (hi - lo)
+                    dpc = np.pad(dpc, ((0, padn), (0, 0)), constant_values=self.num_docs)
+                    fpc = np.pad(fpc, ((0, padn), (0, 0)))
+                sidx = np.nonzero((short_gblks >= lo) & (short_gblks < hi))[0]
+                srows = (short_gblks[sidx] - lo).astype(np.int32)
+                sr = np.zeros(_pow2_at_least(max(len(srows), 1)), dtype=np.int32)
+                sr[: len(srows)] = srows
+                wmax_c, sw_c = _slots_weight_step(
+                    jnp.asarray(dpc), jnp.asarray(fpc), self.norm_den,
+                    jnp.asarray(sr), num_docs=self.num_docs,
+                )
+                wmax_all[lo:hi] = np.asarray(wmax_c)[: hi - lo]
+                if len(sidx):
+                    sw[sidx] = np.asarray(sw_c)[: len(srows)]
+            sdocs = doc_plane[short_gblks]
         else:
             wmax_all = np.zeros(0, dtype=np.float32)
             dmax_all = np.zeros(0, dtype=np.int64)
+            dmin_all = np.zeros(0, dtype=np.int64)
+            sdocs = np.zeros((0, BLOCK), dtype=np.int32)
+            sw = np.zeros((0, BLOCK), dtype=np.float32)
 
-        self._pick_short_lists()
-        list_of_posting = np.repeat(
-            np.arange(len(self.list_n), dtype=np.int64), self.list_n
-        )
-        sel = self.is_short[list_of_posting]
-        short_keys = (
-            list_of_posting[sel] * np.int64(self.num_docs + 1)
-            + docs_all[sel].astype(np.int64)
-        )
-        short_w = w_all[sel].astype(np.float32)
-        self._install_blockmax(wmax_all, dmax_all, gblk0, short_keys, short_w)
+        # short-list posting CSR assembly, identical to _ensure_blockmax's
+        if len(short_gblks):
+            valid = sdocs < self.num_docs
+            lists_rep = np.repeat(short_list_of_blk, BLOCK).reshape(-1, BLOCK)
+            short_keys = (
+                lists_rep[valid].astype(np.int64) * np.int64(self.num_docs + 1)
+                + sdocs[valid]
+            )
+            short_w = sw[valid].astype(np.float32)
+        else:
+            short_keys = np.zeros(0, dtype=np.int64)
+            short_w = np.zeros(0, dtype=np.float32)
+        self._install_blockmax(wmax_all, dmax_all, dmin_all, gblk0, short_keys, short_w)
         import os as _os
 
         if _os.environ.get("DS2I_ENGINE_DEBUG"):
@@ -980,11 +1067,11 @@ class ResidentEngine:
         stride = np.int64(self.num_docs + 1)
         nb = np.diff(lgb0)
         list_of_blk = np.repeat(np.arange(nl, dtype=np.int64), nb)
-        dlo = np.zeros(total, dtype=np.int64)
-        if total > 1:
-            dlo[1:] = self.dmax_blk[:-1] + 1
-        if total:
-            dlo[np.clip(lgb0[:-1], 0, total - 1)] = 0  # lists restart at 0
+        # TRUE first docid per block (not prev-max+1): a list's block
+        # ranges then leave visible gaps between blocks, so block-exact
+        # overlap prunes against lists of every length — with tiled
+        # ranges it could only prune past a list's last docid
+        dlo = self.dmin_blk
         self._blk_dlo = dlo
         self._dmax_keys = list_of_blk * stride + self.dmax_blk
         self._dlo_keys = list_of_blk * stride + dlo
@@ -1293,6 +1380,37 @@ class ResidentEngine:
                 np.add.reduceat(ok_pair.astype(np.int64), pexcl) == cnt_e
                 if P else np.zeros(tot, dtype=bool)
             )
+            # fixpoint: each round's dropped blocks shrink the other
+            # terms' surviving coverage, which drops more blocks — the
+            # batched analogue of the cursor leapfrog's mutual narrowing
+            # (queries.hpp:59-82 re-probes after every advance). Exact by
+            # induction: a doc in the intersection keeps all its blocks
+            # in round 0, so each of its pair probes keeps finding the
+            # surviving partner block that contains it.
+            import os as _os
+
+            stride = self._short_stride
+            dmax_flat = self.dmax_blk[gblk_flat]
+            dmin_flat = self._blk_dlo[gblk_flat]
+            rounds = 0 if _os.environ.get("DS2I_AND_FIXPOINT") == "0" else 3
+            for _ in range(rounds):
+                if P == 0 or not keep.any():
+                    break
+                srv = np.nonzero(keep)[0]
+                # span-major, docid-ascending by construction of gblk_flat
+                keys_max = span_of_blk[srv] * stride + dmax_flat[srv]
+                pos = np.searchsorted(keys_max, s_pair * stride + dlo_e)
+                posc = np.minimum(pos, max(len(srv) - 1, 0))
+                cover = (
+                    (pos < len(srv))
+                    & (span_of_blk[srv][posc] == s_pair)
+                    & (dmin_flat[srv][posc] <= dhi_e)
+                )
+                ok_new = (present & cover) | own
+                keep_new = np.add.reduceat(ok_new.astype(np.int64), pexcl) == cnt_e
+                if np.array_equal(keep_new, keep):
+                    break
+                keep = keep_new
         else:
             # static theta: k-th largest block max per term (CSR; -inf when
             # the term has fewer than k blocks or k exceeds the table)
@@ -1553,6 +1671,13 @@ class ResidentEngine:
         applies block-max skipping (valid only for top-k OR semantics —
         the WAND/MaxScore result contract); it triggers the one-time
         block-max metadata pass on first use."""
+        bad_ops = set(ops) - {"counts", "or", "and"}
+        if bad_ops:
+            raise ValueError(
+                f"unknown ops {sorted(bad_ops)}: ResidentEngine ops are "
+                "'counts', 'or', 'and' (+ ranked=True for scored top-k; "
+                "wand/maxscore are prepare(prune=True, ops=('or',)))"
+            )
         if prune and (tuple(ops) not in (("or",), ("and",)) or not ranked):
             raise ValueError(
                 "prune requires ranked ops=('or',) (WAND/MaxScore) or "
@@ -1683,9 +1808,9 @@ class ResidentEngine:
             else:
                 dw, fw, td, tf, nlr = (
                     self.docs_words, self.freqs_words, self.tiles_docs,
-                    self.tiles_freqs, self.norm_lens,
+                    self.tiles_freqs, self.norm_den,
                 )
-                nlb, tg0 = (self.nl_blocks, self.tile_gblk0) if normcache else (None, None)
+                nlb, tg0 = (self.den_blocks, self.tile_gblk0) if normcache else (None, None)
                 put = jnp.asarray
             dk = pi % len(self.devices) if self._replicas else 0
             cache = p.setdefault("_dev", {})
@@ -1727,7 +1852,7 @@ class ResidentEngine:
                 ),
                 fscale=jnp.float32(p["fscale"]) if p["fscale"] is not None else None,
                 normcache=normcache,
-                nl_blocks=nlb,
+                den_blocks=nlb,
                 tile_gblk0=tg0,
             )
             pending.append((p, out))

@@ -19,6 +19,14 @@ class BM25:
         return f / (f + cls.k1 * (_F32(1.0) - cls.b + cls.b * nl))
 
     @classmethod
+    def norm_denominator(cls, norm_len):
+        """Per-doc denominator k1*(1-b+b*norm_len) in f32, precomputed once
+        so the serving weight is a single add + divide from one table (the
+        resident engine's norm_den; see engine/resident.py)."""
+        nl = np.asarray(norm_len, dtype=_F32)
+        return cls.k1 * (_F32(1.0) - cls.b + cls.b * nl)
+
+    @classmethod
     def query_term_weight(cls, freq, df, num_docs):
         f = _F32(freq)
         fdf = _F32(df)

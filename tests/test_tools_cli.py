@@ -70,6 +70,19 @@ def test_cli_walkthrough(base, tmp_path, monkeypatch, capsys):
              ["block_optpfor", idx, "0.5", "--out", prof])
     assert sum(1 for _ in open(prof)) > 0
 
+    # device-engine decode profiling: same record schema, times from the
+    # resident kernels (profile_decoding.cpp:13-41 measures the serving
+    # path; --engine resident is that measurement for the device engine)
+    prof_dev = str(tmp_path / "prof_dev.jsonl")
+    run_tool(monkeypatch, capsys, "profile_decoding",
+             ["block_optpfor", idx, "0.08", "--out", prof_dev,
+              "--engine", "resident", "--copies", "8", "--replays", "4"])
+    dev_recs = [json.loads(l) for l in open(prof_dev)]
+    assert dev_recs
+    host_recs = [json.loads(l) for l in open(prof)]
+    assert set(dev_recs[0]) == set(host_recs[0])
+    assert sum(1 for r in dev_recs if r["time"] > 0) >= len(dev_recs) // 2
+
     weights = str(tmp_path / "weights.tsv")
     run_tool(monkeypatch, capsys, "dec_time_regression", [prof, "--out", weights])
     assert open(weights).read().startswith("type")

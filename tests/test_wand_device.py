@@ -137,7 +137,7 @@ def test_blockmax_chunked_build_identical():
     # tiny slot budget forces several chunks (floor-clamped to 1<<12)
     many = ResidentEngine(idx, wd, pallas=0, max_part_slots=1 << 10)
     many._ensure_blockmax()
-    for name in ("wmax_blk", "dmax_blk", "gblk0", "tile_of_gblk", "list_gblk0",
+    for name in ("wmax_blk", "dmax_blk", "dmin_blk", "gblk0", "tile_of_gblk", "list_gblk0",
                  "list_wmax", "_kth_vals", "_kth_start", "rank_blk", "_blk_dlo",
                  "_dmax_keys", "_dlo_keys", "_pyr", "_pyr_off", "_pyr_q",
                  "is_short", "_short_keys", "_short_w"):
@@ -153,7 +153,7 @@ def test_blockmax_chunked_build_identical():
 
 
 BLOCKMAX_FIELDS = (
-    "wmax_blk", "dmax_blk", "gblk0", "tile_of_gblk", "list_gblk0",
+    "wmax_blk", "dmax_blk", "dmin_blk", "gblk0", "tile_of_gblk", "list_gblk0",
     "list_wmax", "_kth_vals", "_kth_start", "rank_blk", "_blk_dlo",
     "_dmax_keys", "_dlo_keys", "_pyr", "_pyr_off", "_pyr_q",
     "is_short", "_short_keys", "_short_w",
