@@ -1492,7 +1492,7 @@ class ResidentEngine:
         return gblk_kept, span_kept, row_of_blk, row_nb
 
     def _part_plan(self, terms, qw, counts, k, ops, tmax, qids, prune=False,
-                   theta=None, probe_rank=None):
+                   theta=None, probe_rank=None, pruned_dir=None):
         """Layout for one part: group-major unique-tile ids + per-bucket
         block directories. All numpy, no device work (the pruning tables
         are precomputed device results held on host)."""
@@ -1503,12 +1503,19 @@ class ResidentEngine:
 
         if prune:
             # --- block-max pruned path: filter (query, block) entries by
-            # score upper bound FIRST, then decode only surviving tiles
-            gblk_kept, span_kept, row_of_blk, row_nb = self._pruned_directory(
-                terms, qw, counts, k, span_row,
-                theta_override=theta, probe_rank=probe_rank,
-                mode="and" if ops == ("and",) else "or",
-            )
+            # score upper bound FIRST, then decode only surviving tiles.
+            # prepare() computes the whole batch's directory once and
+            # passes each part its slice (pruned_dir), so parts are split
+            # by PRUNED slot counts; the direct call remains for callers
+            # planning a single part.
+            if pruned_dir is not None:
+                gblk_kept, span_kept, row_of_blk, row_nb = pruned_dir
+            else:
+                gblk_kept, span_kept, row_of_blk, row_nb = self._pruned_directory(
+                    terms, qw, counts, k, span_row,
+                    theta_override=theta, probe_rank=probe_rank,
+                    mode="and" if ops == ("and",) else "or",
+                )
             tot = len(gblk_kept)
             tiles_kept = self.tile_of_gblk[gblk_kept] if tot else np.zeros(0, np.int64)
             utidx = np.unique(tiles_kept)
@@ -1703,7 +1710,60 @@ class ResidentEngine:
                 f"no term cap"
             )
 
-        # part splitting by bucketed slot budget
+        probe_theta = None
+        full_dir = None
+        if prune:
+            import os as _os
+
+            B = len(queries)
+            span_row = np.repeat(np.arange(B), counts)
+            mode = "and" if tuple(ops) == ("and",) else "or"
+            if mode == "or" and _os.environ.get("DS2I_WAND_PROBE") != "0":
+                # phase 1: score only each term's top-P blocks (by block
+                # max). The resulting per-query k-th best score is a TRUE
+                # achieved partial score — a valid, much tighter threshold
+                # than the static single-term bound, because it captures
+                # multi-term score interactions.
+                probe_rank = max(2, -(-2 * k // BLOCK))
+                pdir = self._pruned_directory(
+                    terms, qw, counts, k, span_row, probe_rank=probe_rank)
+                probe_plans = []
+                for q0, q1, pd in self._split_parts(pdir, counts):
+                    pp = self._part_plan(
+                        terms[qstart[q0]:qend[q1 - 1]], qw[qstart[q0]:qend[q1 - 1]],
+                        counts[q0:q1], k, ("or",), tmax,
+                        qids=np.arange(q0, q1), prune=True, pruned_dir=pd,
+                    )
+                    pp["fscale"] = None  # thresholds need f32 downloads
+                    probe_plans.append(pp)
+                pplan = {"plans": probe_plans, "n": B, "k": k, "ops": ("or",)}
+                pres = self.collect(pplan, self.dispatch(pplan))
+                probe_theta = np.full(B, -np.inf)
+                for qi, r in enumerate(pres):
+                    s = np.asarray(r[2])
+                    fin = s[np.isfinite(s)]
+                    if len(fin) >= k:
+                        probe_theta[qi] = float(fin[k - 1])
+            # the batch's FULL pruned directory, computed once: parts are
+            # then split by the slots that actually survive pruning —
+            # with unpruned slot counts the 50x query log shattered into
+            # 35 parts (35 dispatch units per pass) for work that fits
+            # comfortably in 3
+            full_dir = self._pruned_directory(
+                terms, qw, counts, k, span_row,
+                theta_override=probe_theta, mode=mode,
+            )
+            plans = [
+                self._part_plan(
+                    terms[qstart[q0]:qend[q1 - 1]], qw[qstart[q0]:qend[q1 - 1]],
+                    counts[q0:q1], k, tuple(ops), tmax,
+                    qids=np.arange(q0, q1), prune=True, pruned_dir=pd,
+                )
+                for q0, q1, pd in self._split_parts(full_dir, counts)
+            ]
+            return {"plans": plans, "n": B, "k": k, "ops": tuple(ops)}
+
+        # exhaustive path: part splitting by bucketed (unpruned) slot budget
         qslots = np.zeros(len(queries), dtype=np.int64)
         if len(terms):
             nb = self._term_blocks(terms)
@@ -1722,37 +1782,6 @@ class ResidentEngine:
             cur_slots += qslots[qi]
         parts.append((cur0, len(queries)))
 
-        probe_theta = None
-        if prune and tuple(ops) == ("or",):
-            import os as _os
-
-            if _os.environ.get("DS2I_WAND_PROBE") != "0":
-                # phase 1: score only each term's top-P blocks (by block
-                # max). The resulting per-query k-th best score is a TRUE
-                # achieved partial score — a valid, much tighter threshold
-                # than the static single-term bound, because it captures
-                # multi-term score interactions.
-                probe_rank = max(2, -(-2 * k // BLOCK))
-                probe_plans = []
-                for q0, q1 in parts:
-                    if q1 <= q0:
-                        continue
-                    s0, s1 = qstart[q0], qend[q1 - 1]
-                    pp = self._part_plan(
-                        terms[s0:s1], qw[s0:s1], counts[q0:q1], k, ("or",), tmax,
-                        qids=np.arange(q0, q1), prune=True, probe_rank=probe_rank,
-                    )
-                    pp["fscale"] = None  # thresholds need f32 downloads
-                    probe_plans.append(pp)
-                pplan = {"plans": probe_plans, "n": len(queries), "k": k, "ops": ("or",)}
-                pres = self.collect(pplan, self.dispatch(pplan))
-                probe_theta = np.full(len(queries), -np.inf)
-                for qi, r in enumerate(pres):
-                    s = np.asarray(r[2])
-                    fin = s[np.isfinite(s)]
-                    if len(fin) >= k:
-                        probe_theta[qi] = float(fin[k - 1])
-
         plans = []
         for q0, q1 in parts:
             if q1 <= q0:
@@ -1761,11 +1790,46 @@ class ResidentEngine:
             plans.append(
                 self._part_plan(
                     terms[s0:s1], qw[s0:s1], counts[q0:q1], k, tuple(ops), tmax,
-                    qids=np.arange(q0, q1), prune=prune,
-                    theta=probe_theta[q0:q1] if probe_theta is not None else None,
+                    qids=np.arange(q0, q1),
                 )
             )
         return {"plans": plans, "n": len(queries), "k": k, "ops": tuple(ops)}
+
+    def _split_parts(self, full_dir, counts):
+        """Split a batch into parts by the PRUNED per-query slot cost and
+        slice the batch-wide pruned directory for each part: yields
+        (q0, q1, (gblk_kept, span_kept_local, row_of_blk_local, row_nb_local)).
+        Directory entries are row-major (spans are query-major and blocks
+        span-major), so each part's slice is contiguous."""
+        gblk_kept, span_kept, row_of_blk, row_nb = full_dir
+        B = len(counts)
+        Lb = np.maximum(row_nb * BLOCK, 1)
+        Lb = np.maximum(
+            2 ** np.ceil(np.log2(np.maximum(Lb, self.MIN_L))).astype(np.int64),
+            self.MIN_L,
+        )
+        parts = []
+        cur0, cur_slots = 0, 0
+        for qi in range(B):
+            if qi > cur0 and (
+                cur_slots + Lb[qi] > self.max_part_slots
+                or qi - cur0 >= self.max_part_queries
+            ):
+                parts.append((cur0, qi))
+                cur0, cur_slots = qi, 0
+            cur_slots += Lb[qi]
+        parts.append((cur0, B))
+        sexcl = np.cumsum(counts) - counts
+        bounds = np.searchsorted(row_of_blk, [q for q, _ in parts] + [B])
+        for (q0, q1), e0, e1 in zip(parts, bounds[:-1], bounds[1:]):
+            if q1 <= q0:
+                continue
+            yield q0, q1, (
+                gblk_kept[e0:e1],
+                span_kept[e0:e1] - sexcl[q0],
+                row_of_blk[e0:e1] - q0,
+                row_nb[q0:q1],
+            )
 
     def execute(self, plan):
         """Upload per-part layouts, dispatch, download results. One device
