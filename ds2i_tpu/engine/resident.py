@@ -194,11 +194,15 @@ def _decode_weight_blocks(
     docs_words, freqs_words, tiles_docs, tiles_freqs, norm_den,
     gtile_ids, gtile_ids_f, blkperm, groups, groups_f, num_docs,
     ranked, pallas=0, normcache=0, den_blocks=None, tile_gblk0=None,
+    raw=False,
 ):
     """Decode every tile of the part into 32-slot block rows: returns
     (docs32, w32) — (total_blocks, 32) docids (pads carry num_docs) and
-    doc-term weights (ranked) or 1.0 presence flags. Shared by the query
-    step and the block-max metadata pass so they cannot diverge."""
+    doc-term weights (ranked) or 1.0 presence flags. With raw=True the
+    second plane is instead the raw frequencies as f32 (pads 0) so the
+    caller can evaluate weights in a separate, shape-canonical
+    executable (see _slots_weight_step). Shared by the query step and
+    the block-max metadata pass so they cannot diverge."""
     if groups_f:
         # SPLIT mode (block indexes): each stream decodes in its own
         # group-major order; freq blocks realign to docs order by one
@@ -224,6 +228,8 @@ def _decode_weight_blocks(
         docs32 = jnp.concatenate(d_blocks, axis=0)
         freq32 = jnp.take(jnp.concatenate(f_blocks, axis=0), blkperm, axis=0)
         freq32 = freq32.astype(jnp.float32)
+        if raw:
+            return docs32.astype(jnp.int32), freq32
         if ranked:
             if normcache:
                 den = jnp.concatenate(den_rows, axis=0)
@@ -260,7 +266,9 @@ def _decode_weight_blocks(
             doc = jnp.where(valid, dv, num_docs)
             prev = jnp.concatenate([ff[:, F_PREV_CUM][:, None], fv[:, :-1]], axis=1)
             freq = jnp.where(valid, fv - prev, 0).astype(jnp.float32)
-        if ranked:
+        if raw:
+            w = freq
+        elif ranked:
             if normcache:
                 den = _cached_den_rows(den_blocks, tile_gblk0, ids, T).reshape(R, T)
             else:
@@ -270,55 +278,70 @@ def _decode_weight_blocks(
             w = jnp.where(doc < num_docs, 1.0, 0.0)
         docs_blocks.append(doc.reshape(R * (T // BLOCK), BLOCK))
         w_blocks.append(w.reshape(R * (T // BLOCK), BLOCK))
-    return jnp.concatenate(docs_blocks, axis=0), jnp.concatenate(w_blocks, axis=0)
+    docs32 = jnp.concatenate(docs_blocks, axis=0)
+    if raw:
+        docs32 = docs32.astype(jnp.int32)
+    return docs32, jnp.concatenate(w_blocks, axis=0)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("groups", "groups_f", "num_docs", "pallas", "normcache"),
-)
-def _blockmax_step(
-    docs_words, freqs_words, tiles_docs, tiles_freqs, norm_den,
-    gtile_ids, gtile_ids_f, blkperm, short_rows, groups, groups_f, num_docs,
-    pallas=0, normcache=0, den_blocks=None, tile_gblk0=None,
+@partial(jax.jit, static_argnames=("groups", "groups_f", "num_docs", "pallas"))
+def _decode_slots_step(
+    docs_words, freqs_words, tiles_docs, tiles_freqs,
+    gtile_ids, gtile_ids_f, blkperm, groups, groups_f, num_docs, pallas=0,
 ):
-    """One-time decode of EVERY tile -> per-32-block (max doc-term weight,
-    max docid), each (total_blocks,) in the part's group-major block
-    order. The metadata behind device-side WAND/MaxScore pruning: the
-    reference keeps only LIST-level maxes (wand_data.hpp:20-53) and uses
-    block maxes for docid skipping; here each block's score ceiling AND
-    docid range are materialized once so the host planner can skip whole
-    blocks with range-aware bounds (queries.hpp:200-319 wand, :478-591
-    maxscore semantics)."""
-    docs32, w32 = _decode_weight_blocks(
-        docs_words, freqs_words, tiles_docs, tiles_freqs, norm_den,
+    """One decode call over a run of tiles -> raw 32-slot planes
+    (docs32 i32, freq32 f32, dmax, dmin) in group-major block order, for
+    the block-max metadata pass. The WEIGHT evaluation deliberately
+    lives in a separate, shape-canonical executable
+    (_slots_weight_step) shared with the build-time artifact pass:
+    XLA's f32 divide codegen varies with fusion context, so evaluating
+    weights inside two differently-fused programs produced
+    1-ulp-different block maxima (observed on XLA-CPU, 16/572 blocks).
+    One shared executable makes the two artifacts byte-identical by
+    construction."""
+    docs32, freq32 = _decode_weight_blocks(
+        docs_words, freqs_words, tiles_docs, tiles_freqs, None,
         gtile_ids, gtile_ids_f, blkperm, groups, groups_f, num_docs,
-        ranked=True, pallas=pallas, normcache=normcache,
-        den_blocks=den_blocks, tile_gblk0=tile_gblk0,
+        ranked=False, pallas=pallas, raw=True,
     )
     dmax = jnp.where(docs32 < num_docs, docs32, -1).max(axis=1)
     dmin = docs32[:, 0]  # slot 0 is the block's first (smallest) docid
-    # short lists additionally surface their raw (docid, weight) slots so
-    # the planner can do posting-exact overlap bounds for them (their
-    # blocks span wide docid ranges, making block-level bounds useless)
-    return w32.max(axis=1), dmax, dmin, docs32[short_rows], w32[short_rows]
+    return docs32, freq32, dmax, dmin
 
 
 @partial(jax.jit, static_argnames=("num_docs",))
-def _slots_weight_step(doc32, freq32, norm_den, short_rows, num_docs):
-    """Elementwise twin of _decode_weight_blocks' scoring epilogue for the
-    build-time artifact pass (build_blockmax): the same backend expression
-    (denominator gather, f32 add + divide, zero pads, axis-1 block max)
-    over collection-extracted slot planes instead of decoded ones. The
-    divide MUST run on the same backend as serving: XLA lowers f32 divide
-    via reciprocal + refinement, which differs from IEEE numpy by 1 ulp on
-    ~half of all values — computing the artifact's weights with numpy
-    would make pruning thresholds inconsistent with the scores the engine
-    actually computes."""
+def _slots_weight_step(doc32, freq32, norm_den, num_docs):
+    """THE block-max weight evaluator — per-32-block max doc-term weight
+    (the metadata behind device-side WAND/MaxScore pruning; the
+    reference keeps only LIST-level maxes, wand_data.hpp:20-53) plus the
+    full weight plane for short-list posting-exact bounds. Both metadata
+    passes (_ensure_blockmax's tile decode and build_blockmax's
+    collection upload) MUST evaluate weights through this one function
+    at the canonical _bm_chunk_rows shape: the divide must run on the
+    same backend as serving (XLA lowers f32 divide via reciprocal +
+    refinement, 1 ulp off IEEE numpy on ~half of all values), and even
+    on-device the divide's codegen varies with fusion context, so only
+    a single shared executable guarantees byte-identical artifacts."""
     den = norm_den[jnp.clip(doc32, 0, num_docs - 1)]
     w = freq32 / (freq32 + den)
     w = jnp.where(doc32 < num_docs, w, 0.0)
-    return w.max(axis=1), jnp.take(w, short_rows, axis=0)
+    return w.max(axis=1), w
+
+
+@jax.jit
+def _take_rows(a, rows):
+    """Row gather used to download short-list slot planes (exact)."""
+    return jnp.take(a, rows, axis=0)
+
+
+def _bm_chunk_rows(max_part_slots, total):
+    """Canonical row-chunk size of the block-max weight evaluation.
+    MUST be a pure function of (engine slot budget, total blocks) so the
+    decode pass and the build-time artifact pass feed identical shapes
+    to _slots_weight_step — same shapes = same compiled executable =
+    bitwise-equal weights."""
+    budget = max(min(int(max_part_slots), 1 << 25), 1 << 12)
+    return min(max(budget // BLOCK, 1), _pow2_at_least(max(total, 1)))
 
 
 @partial(
@@ -447,6 +470,14 @@ def _resident_step(
         pallas=pallas, normcache=normcache, den_blocks=den_blocks,
         tile_gblk0=tile_gblk0,
     )
+    import os as _os
+
+    if _os.environ.get("DS2I_ENGINE_JOIN") == "0":
+        # perf instrumentation: decode stage only (combine with
+        # DS2I_ENGINE_NOFETCH for a decode-only compute timing; the
+        # decode executable is the production one — it is jitted
+        # separately, so its cost cannot be DCE'd by skipping the join)
+        return w32
     rows = tuple(
         _join_bucket(docs32, w32, d, q, t, num_docs=num_docs, k=k, ops=ops, tmax=tmax)
         for d, q, t in zip(bucket_dir, bucket_qwtab, bucket_tgt)
@@ -745,9 +776,6 @@ class ResidentEngine:
 
             self.build_blockmax(BinaryFreqCollection(src))
             return
-        if self.normcache:
-            self._ensure_norm_cache()
-        normcache = self.normcache if self.den_blocks is not None else 0
 
         nt = self.pad_tile
         tb = self.tile_blocks[:nt]
@@ -772,6 +800,7 @@ class ResidentEngine:
         sdocs = np.full((len(short_gblks), BLOCK), np.iinfo(np.int32).max, dtype=np.int32)
         sw = np.zeros((len(short_gblks), BLOCK), dtype=np.float32)
         budget = max(min(int(self.max_part_slots), 1 << 25), 1 << 12)
+        CB = _bm_chunk_rows(self.max_part_slots, total)
         slots_tile = tb * BLOCK
         cid = (np.cumsum(slots_tile) - slots_tile) // budget if nt else np.zeros(0, np.int64)
         cuts = np.concatenate([[0], np.nonzero(np.diff(cid))[0] + 1, [nt]]).astype(np.int64)
@@ -793,22 +822,41 @@ class ResidentEngine:
             )
             smask = (short_gblks >= gblk0[lo]) & (short_gblks < gblk0[hi])
             sidx = np.nonzero(smask)[0]
-            rows_c = src_c[short_gblks[sidx] - gblk0[lo]]
-            wmax_c, dmax_c, dmin_c, sdocs_c, sw_c = _blockmax_step(
+            rows_c = src_c[short_gblks[sidx] - gblk0[lo]]  # group-major
+            docs_d, freq_d, dmax_c, dmin_c = _decode_slots_step(
                 self.docs_words, self.freqs_words, self.tiles_docs, self.tiles_freqs,
-                self.norm_den, jnp.asarray(gtile_c), jnp.asarray(gtile_fc),
-                jnp.asarray(blkperm_c), jnp.asarray(rows_c.astype(np.int32)),
+                jnp.asarray(gtile_c), jnp.asarray(gtile_fc), jnp.asarray(blkperm_c),
                 groups=tuple(groups_c), groups_f=tuple(groups_fc),
-                num_docs=self.num_docs, pallas=self.pallas, normcache=normcache,
-                den_blocks=self.den_blocks if normcache else None,
-                tile_gblk0=self.tile_gblk0 if normcache else None,
+                num_docs=self.num_docs, pallas=self.pallas,
             )
-            wmax_all[gblk0[lo]:gblk0[hi]] = np.asarray(wmax_c)[src_c]
+            # weight evaluation in canonical CB-row slices through THE
+            # shared executable (see _slots_weight_step docstring).
+            # rows_d >= tot_c: the group-major decode layout carries pad
+            # rows, and src_c addresses positions in that padded space.
+            rows_d = int(docs_d.shape[0])
+            wmax_c = np.zeros(rows_d, dtype=np.float32)
+            for j0 in range(0, rows_d, CB):
+                j1 = min(j0 + CB, rows_d)
+                dp, fp = docs_d[j0:j1], freq_d[j0:j1]
+                if j1 - j0 < CB:
+                    padn = CB - (j1 - j0)
+                    dp = jnp.pad(dp, ((0, padn), (0, 0)), constant_values=self.num_docs)
+                    fp = jnp.pad(fp, ((0, padn), (0, 0)))
+                wm, w = _slots_weight_step(dp, fp, self.norm_den, num_docs=self.num_docs)
+                wmax_c[j0:j1] = np.asarray(wm)[: j1 - j0]
+                in_sl = (rows_c >= j0) & (rows_c < j1)
+                if np.any(in_sl):
+                    rloc = (rows_c[in_sl] - j0).astype(np.int32)
+                    sw[sidx[in_sl]] = np.asarray(
+                        _take_rows(w, jnp.asarray(rloc))
+                    )
+            if len(sidx):
+                sdocs[sidx] = np.asarray(
+                    _take_rows(docs_d, jnp.asarray(rows_c.astype(np.int32)))
+                )
+            wmax_all[gblk0[lo]:gblk0[hi]] = wmax_c[src_c]
             dmax_all[gblk0[lo]:gblk0[hi]] = np.asarray(dmax_c)[src_c]
             dmin_all[gblk0[lo]:gblk0[hi]] = np.asarray(dmin_c)[src_c]
-            if len(sidx):
-                sdocs[sidx] = np.asarray(sdocs_c)
-                sw[sidx] = np.asarray(sw_c)
 
         # short-list posting CSR keyed by list*stride+docid (globally sorted
         # since blocks arrive list-major in docid order)
@@ -1000,26 +1048,23 @@ class ResidentEngine:
 
             wmax_all = np.zeros(total, dtype=np.float32)
             sw = np.zeros((len(short_gblks), BLOCK), dtype=np.float32)
-            budget = max(min(int(self.max_part_slots), 1 << 25), 1 << 12)
-            cb = min(max(budget // BLOCK, 1), _pow2_at_least(total))
-            for lo in range(0, total, cb):
-                hi = min(lo + cb, total)
+            CB = _bm_chunk_rows(self.max_part_slots, total)
+            for lo in range(0, total, CB):
+                hi = min(lo + CB, total)
                 dpc, fpc = doc_plane[lo:hi], freq_plane[lo:hi]
-                if hi - lo < cb:  # fixed chunk shape: one compile
-                    padn = cb - (hi - lo)
+                if hi - lo < CB:  # fixed chunk shape: one compile
+                    padn = CB - (hi - lo)
                     dpc = np.pad(dpc, ((0, padn), (0, 0)), constant_values=self.num_docs)
                     fpc = np.pad(fpc, ((0, padn), (0, 0)))
-                sidx = np.nonzero((short_gblks >= lo) & (short_gblks < hi))[0]
-                srows = (short_gblks[sidx] - lo).astype(np.int32)
-                sr = np.zeros(_pow2_at_least(max(len(srows), 1)), dtype=np.int32)
-                sr[: len(srows)] = srows
-                wmax_c, sw_c = _slots_weight_step(
+                wmax_c, w = _slots_weight_step(
                     jnp.asarray(dpc), jnp.asarray(fpc), self.norm_den,
-                    jnp.asarray(sr), num_docs=self.num_docs,
+                    num_docs=self.num_docs,
                 )
                 wmax_all[lo:hi] = np.asarray(wmax_c)[: hi - lo]
+                sidx = np.nonzero((short_gblks >= lo) & (short_gblks < hi))[0]
                 if len(sidx):
-                    sw[sidx] = np.asarray(sw_c)[: len(srows)]
+                    srows = (short_gblks[sidx] - lo).astype(np.int32)
+                    sw[sidx] = np.asarray(_take_rows(w, jnp.asarray(srows)))
             sdocs = doc_plane[short_gblks]
         else:
             wmax_all = np.zeros(0, dtype=np.float32)
