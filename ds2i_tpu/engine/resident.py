@@ -417,6 +417,76 @@ def _join_bucket(docs32, w32, bdir, qwtab, tgtv, num_docs, k, ops, tmax):
     return jnp.concatenate(res, axis=1)
 
 
+@partial(jax.jit, static_argnames=("num_docs", "k", "tmax", "C"))
+def _probe_bucket(docs32, w32, bdir, qwtab, seg, num_docs, k, tmax, C):
+    """Probe join for pure-AND buckets: the device analogue of the
+    reference AND cursor's next_geq leapfrog (queries.hpp:59-82,
+    block_posting_list.hpp:124-146) at POSTING granularity. Instead of
+    sorting the row's full L-slot union (O(L log^2 L) bitonic stages —
+    the sort dominates at 50x where heavy rows pad to 256k slots), take
+    the row's rarest term's slots as candidates and binary-search each
+    candidate in every other term's slot run (runs are docid-sorted by
+    construction: blocks ascend within a span, slots ascend within a
+    block). O(C * tmax * log L) vectorized gathers, C = rarest-span
+    slots. Exact: a doc is in the intersection iff every span finds it,
+    and each found slot contributes its exact qw-weighted doc-term
+    weight (f32 sum order differs from the sort join's run accumulation
+    by association only — within the reference's own 0.1% ranked
+    tolerance, test_ranked_queries.cpp:52).
+
+    seg packs per-row i32 tables: [span slot offsets (tmax) | span slot
+    lengths (tmax) | rarest span index | active span count]."""
+    Bb, nb_row = bdir.shape
+    L = nb_row * BLOCK
+    LOG2L = max(L.bit_length() - 1, 1)
+    blkidx = bdir >> 5
+    slot = bdir & 31
+    qw = jnp.take_along_axis(qwtab, slot, axis=1)  # (Bb, L/32)
+    d = jnp.take(docs32, blkidx, axis=0).reshape(Bb, L)
+    w = (jnp.take(w32, blkidx, axis=0) * qw[:, :, None]).reshape(Bb, L)
+
+    so = seg[:, :tmax]
+    sl = seg[:, tmax : 2 * tmax]
+    rare = seg[:, 2 * tmax]
+    tcnt = seg[:, 2 * tmax + 1]
+
+    roff = jnp.take_along_axis(so, rare[:, None], axis=1)  # (Bb, 1)
+    rlen = jnp.take_along_axis(sl, rare[:, None], axis=1)
+    ar = jnp.arange(C, dtype=jnp.int32)[None, :]
+    cmask = ar < rlen
+    cidx = jnp.minimum(roff + ar, L - 1)
+    cd = jnp.take_along_axis(d, cidx, axis=1)  # candidate docids
+    cw = jnp.take_along_axis(w, cidx, axis=1)
+    cd = jnp.where(cmask, cd, num_docs)
+    present = cd < num_docs  # pads (num_docs) can never match below
+    score = jnp.where(present, cw, 0.0)
+
+    for s in range(tmax):
+        off = so[:, s][:, None]
+        n = sl[:, s][:, None]
+
+        # branchless lower bound of cd within d[:, off:off+n) — one
+        # fori_loop gather per bit keeps the HLO small (compile time)
+        def step(i, pos):
+            cand = pos + jnp.left_shift(jnp.int32(1), jnp.int32(LOG2L - 1) - i)
+            idx = jnp.minimum(off + cand - 1, L - 1)
+            v = jnp.take_along_axis(d, idx, axis=1)
+            return jnp.where((cand <= n) & (v < cd), cand, pos)
+
+        pos = jax.lax.fori_loop(
+            0, LOG2L, step, jnp.zeros((Bb, C), dtype=jnp.int32)
+        )
+        fidx = jnp.minimum(off + pos, L - 1)
+        found = (pos < n) & (jnp.take_along_axis(d, fidx, axis=1) == cd)
+        is_rare = (rare == s)[:, None]
+        active = (tcnt > s)[:, None]
+        hit = found & active & ~is_rare
+        score = score + jnp.where(hit, jnp.take_along_axis(w, fidx, axis=1), 0.0)
+        present = present & (found | is_rare | ~active)
+
+    return jax.lax.top_k(jnp.where(present, score, NEG_INF), k)[0]
+
+
 @partial(jax.jit, static_argnames=("fetch16",))
 def _pack_rows(rows, pack_idx, fscale, fetch16):
     """Concatenate the buckets' full outputs, gather the real query rows
@@ -459,6 +529,8 @@ def _resident_step(
     # gather) instead of the per-posting random gather; exact (f32 cache)
     den_blocks=None,  # RESIDENT f32[total_blocks, 32] (normcache mode)
     tile_gblk0=None,  # RESIDENT i32[Nt+1]: first cache row of each tile
+    bucket_seg=None,  # tuple of i32[Bb, 2*tmax+2] probe-join span tables
+    bucket_C=None,  # per-bucket candidate widths (python ints, static)
 ):
     """Orchestrates the three jitted stages (decode -> per-bucket join ->
     pack); plain Python so each stage's compile cache is keyed only on
@@ -478,10 +550,21 @@ def _resident_step(
         # decode executable is the production one — it is jitted
         # separately, so its cost cannot be DCE'd by skipping the join)
         return w32
-    rows = tuple(
-        _join_bucket(docs32, w32, d, q, t, num_docs=num_docs, k=k, ops=ops, tmax=tmax)
-        for d, q, t in zip(bucket_dir, bucket_qwtab, bucket_tgt)
-    )
+    if (
+        ops == ("and",)
+        and bucket_seg is not None
+        and _os.environ.get("DS2I_ENGINE_PROBE") != "0"
+    ):
+        rows = tuple(
+            _probe_bucket(docs32, w32, d, q, s, num_docs=num_docs, k=k,
+                          tmax=tmax, C=c)
+            for d, q, s, c in zip(bucket_dir, bucket_qwtab, bucket_seg, bucket_C)
+        )
+    else:
+        rows = tuple(
+            _join_bucket(docs32, w32, d, q, t, num_docs=num_docs, k=k, ops=ops, tmax=tmax)
+            for d, q, t in zip(bucket_dir, bucket_qwtab, bucket_tgt)
+        )
     return _pack_rows(
         rows, pack_idx,
         jnp.float32(fscale) if fscale is not None else jnp.float32(1.0),
@@ -1355,6 +1438,56 @@ class ResidentEngine:
             blkperm = np.zeros(1, dtype=_I32)
         return groups_f, gtile_f, blkperm
 
+    def _entry_score_ub(self, t, qw, missing, counts, span_row,
+                        span_of_blk, gblk_flat):
+        """Range-aware score upper bound per directory entry: entry e
+        (one block of one span, docid range [dlo, dhi]) takes its own
+        qw-weighted block max plus, for every OTHER span s of its row,
+        qw_s * max doc-term weight of t_s over the blocks overlapping
+        [dlo, dhi] — other terms can only add score where their docids
+        land in this block's range (block-max WAND's docid alignment,
+        exact at block granularity via _blk_overlap + pyramid range max;
+        posting-exact for short other-terms). Valid for any doc in the
+        block under both OR and AND semantics (same score sum)."""
+        tot = len(gblk_flat)
+        rowe = span_row[span_of_blk]
+        sexcl = np.cumsum(counts) - counts
+        cnt_e = counts[rowe]
+        P = int(cnt_e.sum())
+        ent_of_pair = np.repeat(np.arange(tot, dtype=np.int64), cnt_e)
+        pexcl = np.cumsum(cnt_e) - cnt_e
+        s_pair = sexcl[rowe][ent_of_pair] + (np.arange(P, dtype=np.int64) - pexcl[ent_of_pair])
+        ts_pair = t[s_pair]
+        dlo_e = self._blk_dlo[gblk_flat][ent_of_pair]
+        dhi_e = self.dmax_blk[gblk_flat][ent_of_pair]
+        bf, bl = self._blk_overlap(ts_pair, dlo_e, dhi_e)
+        has = bf <= bl
+        v = np.zeros(P, dtype=np.float32)
+        if np.any(has):
+            v[has] = self._range_ub(ts_pair[has], bf[has], bl[has])
+        # short other-terms: posting-exact overlap against the entry's
+        # docid range (their blocks span wide docid ranges)
+        sp = self.is_short[ts_pair] & ~missing[s_pair]
+        if np.any(sp):
+            base = ts_pair[sp] * self._short_stride
+            lo = np.searchsorted(self._short_keys, base + dlo_e[sp])
+            hi = np.searchsorted(self._short_keys, base + dhi_e[sp] + 1)
+            cnt = hi - lo
+            vs = np.where(
+                cnt == 0, np.float32(0.0),
+                np.where(
+                    cnt == 1,
+                    self._short_w[np.clip(lo, 0, max(len(self._short_w) - 1, 0))],
+                    v[sp],
+                ),
+            )
+            v[sp] = vs
+        v = np.where(missing[s_pair], 0.0, v)
+        own = s_pair == span_of_blk[ent_of_pair]
+        contrib = np.where(own, 0.0, qw[s_pair].astype(np.float64) * v)
+        rest_ub = np.add.reduceat(contrib, pexcl) if P else np.zeros(tot)
+        return rest_ub + qw.astype(np.float64)[span_of_blk] * self.wmax_blk[gblk_flat]
+
     def _pruned_directory(self, terms, qw, counts, k, span_row,
                           theta_override=None, probe_rank=None, mode="or"):
         """Block-max pruned flat directory (device WAND/MaxScore,
@@ -1425,6 +1558,36 @@ class ResidentEngine:
                 np.add.reduceat(ok_pair.astype(np.int64), pexcl) == cnt_e
                 if P else np.zeros(tot, dtype=bool)
             )
+            theta_keep = None
+            if theta_override is not None and np.any(np.isfinite(theta_override)):
+                # AND score pruning (exact): theta_override[row] is an
+                # ACHIEVED k-th best AND score (prepare()'s docid-prefix
+                # probe computes true intersection scores of a block
+                # subset — any doc fully covered by a subset scores
+                # exactly). A block with ub < theta holds no doc of the
+                # final top-k (every doc of the true top-k has score >=
+                # theta, and each of its blocks has ub >= that score),
+                # so dropping it only removes docs that AND semantics
+                # already exclude from the top-k: a doc missing ANY
+                # block is excluded entirely, not partially scored.
+                # Applied to overlap survivors only (ub on the full
+                # pre-overlap directory is the expensive part of the OR
+                # planner); the fixpoint below then compounds both
+                # filters, exact by the same induction.
+                srv = np.nonzero(keep)[0]
+                th_e = theta_override[span_row[span_of_blk[srv]]]
+                cand = np.isfinite(th_e)
+                if np.any(cand):
+                    sc = srv[cand]
+                    ub = self._entry_score_ub(
+                        t, qw, missing, counts, span_row,
+                        span_of_blk[sc], gblk_flat[sc],
+                    )
+                    th = th_e[cand]
+                    keep[sc[ub < th - np.abs(th) * 1e-4]] = False
+                    # the fixpoint below recomputes keep from pair
+                    # overlap alone; score drops must stay dropped
+                    theta_keep = keep.copy()
             # fixpoint: each round's dropped blocks shrink the other
             # terms' surviving coverage, which drops more blocks — the
             # batched analogue of the cursor leapfrog's mutual narrowing
@@ -1453,6 +1616,8 @@ class ResidentEngine:
                 )
                 ok_new = (present & cover) | own
                 keep_new = np.add.reduceat(ok_new.astype(np.int64), pexcl) == cnt_e
+                if theta_keep is not None:
+                    keep_new &= theta_keep  # score drops stay dropped
                 if np.array_equal(keep_new, keep):
                     break
                 keep = keep_new
@@ -1480,50 +1645,9 @@ class ResidentEngine:
                 # so their k-th best is a valid (usually far tighter) bound
                 theta = np.maximum(theta, theta_override)
 
-            # range-aware rest bound: entry e (docid range [dlo, dhi])
-            # takes, for every OTHER span s of its row, qw_s * max doc-term
-            # weight of t_s over the blocks overlapping [dlo, dhi] — other
-            # terms can only add score where their docids land in this
-            # block's range (block-max WAND's docid alignment, exact at
-            # block granularity via _blk_overlap + pyramid range max)
-            rowe = span_row[span_of_blk]
-            sexcl = np.cumsum(counts) - counts
-            cnt_e = counts[rowe]
-            P = int(cnt_e.sum())
-            ent_of_pair = np.repeat(np.arange(tot, dtype=np.int64), cnt_e)
-            pexcl = np.cumsum(cnt_e) - cnt_e
-            s_pair = sexcl[rowe][ent_of_pair] + (np.arange(P, dtype=np.int64) - pexcl[ent_of_pair])
-            ts_pair = t[s_pair]
-            dlo_e = self._blk_dlo[gblk_flat][ent_of_pair]
-            dhi_e = self.dmax_blk[gblk_flat][ent_of_pair]
-            bf, bl = self._blk_overlap(ts_pair, dlo_e, dhi_e)
-            has = bf <= bl
-            v = np.zeros(P, dtype=np.float32)
-            if np.any(has):
-                v[has] = self._range_ub(ts_pair[has], bf[has], bl[has])
-            # short other-terms: posting-exact overlap against the entry's
-            # docid range (their blocks span wide docid ranges)
-            sp = self.is_short[ts_pair] & ~missing[s_pair]
-            if np.any(sp):
-                base = ts_pair[sp] * self._short_stride
-                lo = np.searchsorted(self._short_keys, base + dlo_e[sp])
-                hi = np.searchsorted(self._short_keys, base + dhi_e[sp] + 1)
-                cnt = hi - lo
-                vs = np.where(
-                    cnt == 0, np.float32(0.0),
-                    np.where(
-                        cnt == 1,
-                        self._short_w[np.clip(lo, 0, max(len(self._short_w) - 1, 0))],
-                        v[sp],
-                    ),
-                )
-                v[sp] = vs
-            v = np.where(missing[s_pair], 0.0, v)
-            own = s_pair == span_of_blk[ent_of_pair]
-            contrib = np.where(own, 0.0, qw[s_pair].astype(np.float64) * v)
-            rest_ub = np.add.reduceat(contrib, pexcl) if P else np.zeros(tot)
-
-            ub = rest_ub + qw.astype(np.float64)[span_of_blk] * self.wmax_blk[gblk_flat]
+            ub = self._entry_score_ub(
+                t, qw, missing, counts, span_row, span_of_blk, gblk_flat
+            )
             # 1e-4 relative margin absorbs f32 accumulation-order noise on
             # both sides (the parity tolerance itself is 0.1% relative,
             # test_ranked_queries.cpp:52)
@@ -1535,6 +1659,85 @@ class ResidentEngine:
         row_of_blk = span_row[span_kept]
         row_nb = np.bincount(row_of_blk, minlength=B).astype(np.int64)
         return gblk_kept, span_kept, row_of_blk, row_nb
+
+    def _and_prefix_probe(self, dir0, terms, qw, counts, k, tmax):
+        """Docid-prefix AND probe: for rows whose overlap-pruned
+        directory is still heavy, execute the intersection restricted to
+        the blocks whose docid range starts within the rarest span's
+        first P kept blocks. Any doc fully covered by a block subset
+        scores exactly under AND, so each row's k-th best probe score is
+        an ACHIEVED lower bound on its true k-th best — the theta that
+        lets _pruned_directory drop high-docid blocks whose score upper
+        bound cannot reach the top-k (the device analogue of a WAND
+        cursor's threshold tightening as the heap fills,
+        queries.hpp:200-319). Returns per-row theta (-inf where the
+        probe found fewer than k results) or None when no row is heavy."""
+        import os as _os
+
+        gk, sk, rb, rnb = dir0
+        B = len(counts)
+        H = int(_os.environ.get("DS2I_AND_PROBE_MIN_BLOCKS", 128))
+        P = int(_os.environ.get("DS2I_AND_PROBE_BLOCKS", 64))
+        heavy = rnb > H
+        if not heavy.any() or not len(gk):
+            return None
+        span_row = np.repeat(np.arange(B), counts)
+        sexcl = np.cumsum(counts) - counts
+        span_cnt = np.bincount(sk, minlength=len(terms)).astype(np.int64)
+        # rarest span per row (kept-block counts; dir entries are
+        # row-major with span-contiguous runs)
+        slot_of_span = np.arange(len(terms), dtype=np.int64) - sexcl[span_row]
+        KEY = 64
+        key = span_cnt * KEY + slot_of_span
+        rare_key = np.full(B, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(rare_key, span_row, key)
+        has = counts > 0
+        rare_span = np.where(has, sexcl + (rare_key % KEY), 0)
+        rare_cnt = np.where(has, rare_key // KEY, 0)
+        # per-row docid cutoff: the rare span's P-th kept block's dmax
+        g_excl = np.cumsum(span_cnt) - span_cnt
+        ok = heavy & (rare_cnt > 0)
+        if not ok.any():
+            return None
+        last_e = g_excl[rare_span] + np.minimum(rare_cnt, P) - 1
+        X = np.full(B, -1, dtype=np.int64)
+        X[ok] = self.dmax_blk[gk[last_e[ok]]]
+        mask = ok[rb] & (self._blk_dlo[gk] <= X[rb])
+        if not mask.any():
+            return None
+        # compact the probe batch to the heavy rows only
+        hrows = np.nonzero(ok)[0]
+        hmap = np.full(B, -1, dtype=np.int64)
+        hmap[hrows] = np.arange(len(hrows))
+        hspan = ok[span_row]
+        terms_h, qw_h, counts_h = terms[hspan], qw[hspan], counts[hrows]
+        ns_of_os = np.cumsum(hspan) - 1
+        pdir = (
+            gk[mask],
+            ns_of_os[sk[mask]],
+            hmap[rb[mask]],
+            np.bincount(hmap[rb[mask]], minlength=len(hrows)).astype(np.int64),
+        )
+        qe = np.cumsum(counts_h)
+        qs = qe - counts_h
+        plans = []
+        for q0, q1, pd in self._split_parts(pdir, counts_h):
+            pp = self._part_plan(
+                terms_h[qs[q0]:qe[q1 - 1]], qw_h[qs[q0]:qe[q1 - 1]],
+                counts_h[q0:q1], k, ("and",), tmax,
+                qids=np.arange(q0, q1), prune=True, pruned_dir=pd,
+            )
+            pp["fscale"] = None  # thresholds need f32 downloads
+            plans.append(pp)
+        pplan = {"plans": plans, "n": len(hrows), "k": k, "ops": ("and",)}
+        pres = self.collect(pplan, self.dispatch(pplan))
+        theta = np.full(B, -np.inf)
+        for hi, r in enumerate(pres):
+            s = np.asarray(r[3])
+            fin = s[np.isfinite(s)]
+            if len(fin) >= k:
+                theta[hrows[hi]] = float(fin[k - 1])
+        return theta if np.any(np.isfinite(theta)) else None
 
     def _part_plan(self, terms, qw, counts, k, ops, tmax, qids, prune=False,
                    theta=None, probe_rank=None, pruned_dir=None):
@@ -1562,6 +1765,9 @@ class ResidentEngine:
                     mode="and" if ops == ("and",) else "or",
                 )
             tot = len(gblk_kept)
+            span_nb_eff = np.bincount(
+                span_kept, minlength=len(terms)
+            ).astype(np.int64) if tot else np.zeros(len(terms), np.int64)
             tiles_kept = self.tile_of_gblk[gblk_kept] if tot else np.zeros(0, np.int64)
             utidx = np.unique(tiles_kept)
             groups, gtile_ids, tblk, sent_blk, nb_d = self._order_groups(
@@ -1618,6 +1824,7 @@ class ResidentEngine:
 
             # --- per-query block directory
             span_nb = unb[uinv] if len(terms) else np.zeros(0, np.int64)
+            span_nb_eff = span_nb
             row_nb = np.zeros(B, dtype=np.int64)
             np.add.at(row_nb, span_row, span_nb)
 
@@ -1680,6 +1887,35 @@ class ResidentEngine:
             for bi, pb in enumerate(plan_buckets):
                 m = b_of == bi
                 pb["dir"][r_of[m], col_of_blk[m]] = dir_flat[m]
+
+        if ops == ("and",) and len(terms):
+            # probe-join span tables (see _probe_bucket): each row's dir
+            # columns are span-contiguous runs in span order, so per-span
+            # (slot offset, slot length) + the rarest span's index fully
+            # describe the candidate/probe layout
+            g_excl = np.cumsum(span_nb_eff) - span_nb_eff
+            row_first = np.zeros(B, dtype=np.int64)
+            has = counts > 0
+            row_first[has] = g_excl[sexcl[has]]
+            off_blocks = g_excl - row_first[span_row]
+            KEY = 64  # > max spans/row (tmax <= 32)
+            key = span_nb_eff * KEY + slot_of_span
+            rare_key = np.full(B, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(rare_key, span_row, key)
+            rare_slot = np.where(has, rare_key % KEY, 0)
+            rare_nb = np.where(has, rare_key // KEY, 0)
+            for bi, pb in enumerate(plan_buckets):
+                seg = np.zeros((pb["Bb"], 2 * tmax + 2), dtype=_I32)
+                m = b_of_span == bi
+                r, sl_ = r_of_span[m], slot_of_span[m]
+                seg[r, sl_] = off_blocks[m] * BLOCK
+                seg[r, tmax + sl_] = span_nb_eff[m] * BLOCK
+                rows_b = np.nonzero(bucket_of_row == bi)[0]
+                seg[row_in_bucket[rows_b], 2 * tmax] = rare_slot[rows_b]
+                seg[row_in_bucket[rows_b], 2 * tmax + 1] = counts[rows_b]
+                pb["seg"] = seg
+                cmax = int(rare_nb[rows_b].max()) * BLOCK if len(rows_b) else 1
+                pb["C"] = max(_pow2_at_least(max(cmax, 1)), _pow2_at_least(k), 64)
 
         # f16 download scaling: find a power of two putting every possible
         # finite score in f16's normal range [~6.1e-5, 65504); None -> f32.
@@ -1757,6 +1993,7 @@ class ResidentEngine:
 
         probe_theta = None
         full_dir = None
+        dir0 = None
         if prune:
             import os as _os
 
@@ -1789,15 +2026,27 @@ class ResidentEngine:
                     fin = s[np.isfinite(s)]
                     if len(fin) >= k:
                         probe_theta[qi] = float(fin[k - 1])
+            elif mode == "and" and _os.environ.get("DS2I_AND_THETA") != "0":
+                # phase 1 for AND: overlap-prune, then a docid-prefix
+                # probe on the still-heavy rows whose achieved k-th best
+                # intersection scores let phase 2 drop blocks by score
+                # upper bound as well (see _and_prefix_probe)
+                dir0 = self._pruned_directory(
+                    terms, qw, counts, k, span_row, mode="and")
+                probe_theta = self._and_prefix_probe(
+                    dir0, terms, qw, counts, k, tmax)
             # the batch's FULL pruned directory, computed once: parts are
             # then split by the slots that actually survive pruning —
             # with unpruned slot counts the 50x query log shattered into
             # 35 parts (35 dispatch units per pass) for work that fits
             # comfortably in 3
-            full_dir = self._pruned_directory(
-                terms, qw, counts, k, span_row,
-                theta_override=probe_theta, mode=mode,
-            )
+            if mode == "and" and probe_theta is None and dir0 is not None:
+                full_dir = dir0  # no heavy rows: phase-1 result is final
+            else:
+                full_dir = self._pruned_directory(
+                    terms, qw, counts, k, span_row,
+                    theta_override=probe_theta, mode=mode,
+                )
             plans = [
                 self._part_plan(
                     terms[qstart[q0]:qend[q1 - 1]], qw[qstart[q0]:qend[q1 - 1]],
@@ -1932,8 +2181,10 @@ class ResidentEngine:
                     tuple(put(b["qwtab"]) for b in bb),
                     tuple(put(b["tgt"]) for b in bb),
                     put(p["pack_idx"]),
+                    tuple(put(b["seg"]) for b in bb)
+                    if all("seg" in b for b in bb) else None,
                 )
-            d_gt, d_gf, d_bp, d_dir, d_qw, d_tgt, d_pidx = cache[dk]
+            d_gt, d_gf, d_bp, d_dir, d_qw, d_tgt, d_pidx, d_seg = cache[dk]
             out = _resident_step(
                 dw,
                 fw,
@@ -1963,6 +2214,8 @@ class ResidentEngine:
                 normcache=normcache,
                 den_blocks=nlb,
                 tile_gblk0=tg0,
+                bucket_seg=d_seg,
+                bucket_C=tuple(b.get("C", 0) for b in bb),
             )
             pending.append((p, out))
         if not _os.environ.get("DS2I_ENGINE_NOFETCH"):  # keep compute-only timing clean

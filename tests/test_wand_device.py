@@ -82,6 +82,26 @@ def test_ranked_and_skip_matches_exhaustive(tname):
         np.testing.assert_allclose(p, a, rtol=1e-3, err_msg=f"q{i}")
 
 
+def test_probe_join_matches_sort_join(monkeypatch):
+    """The pure-AND probe join (device leapfrog at posting granularity,
+    _probe_bucket) must match the sort join bucket-for-bucket on both
+    the exhaustive and pruned paths."""
+    idx, wd, qs = _build("block_optpfor", seed=13)
+    eng = ResidentEngine(idx, wd, pallas=0)
+    monkeypatch.setenv("DS2I_ENGINE_PROBE", "0")
+    sort_ex = eng.ranked_and(qs, k=10)
+    sort_pr = eng.ranked_and(qs, k=10, prune=True)
+    monkeypatch.delenv("DS2I_ENGINE_PROBE")
+    probe_ex = eng.ranked_and(qs, k=10)
+    probe_pr = eng.ranked_and(qs, k=10, prune=True)
+    for i in range(len(qs)):
+        for a, p, tag in ((sort_ex[i], probe_ex[i], "exhaustive"),
+                          (sort_pr[i], probe_pr[i], "pruned"),
+                          (sort_ex[i], probe_pr[i], "pruned-vs-exact")):
+            assert len(a) == len(p), f"{tag} q{i}: result count"
+            np.testing.assert_allclose(p, a, rtol=1e-3, err_msg=f"{tag} q{i}")
+
+
 def test_overlap_and_pyramid_against_bruteforce():
     """_blk_overlap must return the exact block range intersecting a
     docid interval, and _range_ub must upper-bound (within its stated
