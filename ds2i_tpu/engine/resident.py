@@ -553,8 +553,13 @@ def _resident_step(
     if (
         ops == ("and",)
         and bucket_seg is not None
-        and _os.environ.get("DS2I_ENGINE_PROBE") != "0"
+        and _os.environ.get("DS2I_ENGINE_PROBE") == "1"
     ):
+        # Opt-in only: the gather-based probe join measured 25x SLOWER
+        # than the sort join on the v5e at 1x scale (85.1 vs 3.4 us/q,
+        # BENCH_r03 / docs/PERF.md round-3 section) — random gather is
+        # this chip's weakest primitive. The bitonic sort join stays
+        # the default until a per-bucket cost model proves otherwise.
         rows = tuple(
             _probe_bucket(docs32, w32, d, q, s, num_docs=num_docs, k=k,
                           tmax=tmax, C=c)
@@ -1971,9 +1976,16 @@ class ResidentEngine:
                 "prune requires ranked ops=('or',) (WAND/MaxScore) or "
                 "ops=('and',) (intersection block skipping)"
             )
+        import time as _time
+
+        timings = {}
+        _t0 = _time.time()
         if prune:
             self._ensure_blockmax()
+            timings["blockmax"] = _time.time() - _t0
+        _t0 = _time.time()
         terms, qw, counts = self._prep_terms(queries, ranked)
+        timings["parse"] = _time.time() - _t0
         qend = np.cumsum(counts)
         qstart = qend - counts
         tmax = _pow2_at_least(int(counts.max()) if len(counts) else 1, lo=2)
@@ -2000,12 +2012,42 @@ class ResidentEngine:
             B = len(queries)
             span_row = np.repeat(np.arange(B), counts)
             mode = "and" if tuple(ops) == ("and",) else "or"
-            if mode == "or" and _os.environ.get("DS2I_WAND_PROBE") != "0":
+            # Persisted probe thetas: the phase-1 probe executes a device
+            # sub-plan (compile + dispatch) inside prepare — the dominant
+            # layout cost on a cold process. Its result depends only on
+            # (parsed queries, weights, k, mode, probe knobs) for this
+            # index, so DS2I_ENGINE_CACHE can replay it across restarts.
+            theta_key = None
+            have_cached_theta = False
+            if self.cache_dir:
+                import hashlib as _hl
+
+                hq = _hl.blake2b(digest_size=12)
+                hq.update(np.ascontiguousarray(terms).tobytes())
+                hq.update(np.ascontiguousarray(qw).tobytes())
+                hq.update(np.ascontiguousarray(counts).tobytes())
+                knobs = (
+                    k, mode,
+                    _os.environ.get("DS2I_AND_PROBE_MIN_BLOCKS", "128"),
+                    _os.environ.get("DS2I_AND_PROBE_BLOCKS", "64"),
+                )
+                hq.update(str(knobs).encode())
+                theta_key = f"theta_{mode}_{hq.hexdigest()}"
+                cached = self._cache_load(theta_key)
+                if cached is not None:
+                    t_arr = cached["theta"]
+                    probe_theta = t_arr if np.any(np.isfinite(t_arr)) else None
+                    have_cached_theta = True
+                    timings["probe"] = 0.0
+            if have_cached_theta:
+                pass
+            elif mode == "or" and _os.environ.get("DS2I_WAND_PROBE") != "0":
                 # phase 1: score only each term's top-P blocks (by block
                 # max). The resulting per-query k-th best score is a TRUE
                 # achieved partial score — a valid, much tighter threshold
                 # than the static single-term bound, because it captures
                 # multi-term score interactions.
+                _tp = _time.time()
                 probe_rank = max(2, -(-2 * k // BLOCK))
                 pdir = self._pruned_directory(
                     terms, qw, counts, k, span_row, probe_rank=probe_rank)
@@ -2026,20 +2068,34 @@ class ResidentEngine:
                     fin = s[np.isfinite(s)]
                     if len(fin) >= k:
                         probe_theta[qi] = float(fin[k - 1])
+                timings["probe"] = _time.time() - _tp
+                if theta_key is not None:
+                    self._cache_save(theta_key, theta=probe_theta)
             elif mode == "and" and _os.environ.get("DS2I_AND_THETA") != "0":
                 # phase 1 for AND: overlap-prune, then a docid-prefix
                 # probe on the still-heavy rows whose achieved k-th best
                 # intersection scores let phase 2 drop blocks by score
                 # upper bound as well (see _and_prefix_probe)
+                _tp = _time.time()
                 dir0 = self._pruned_directory(
                     terms, qw, counts, k, span_row, mode="and")
+                timings["dir0"] = _time.time() - _tp
+                _tp = _time.time()
                 probe_theta = self._and_prefix_probe(
                     dir0, terms, qw, counts, k, tmax)
+                timings["probe"] = _time.time() - _tp
+                if theta_key is not None:
+                    self._cache_save(
+                        theta_key,
+                        theta=(probe_theta if probe_theta is not None
+                               else np.full(B, -np.inf)),
+                    )
             # the batch's FULL pruned directory, computed once: parts are
             # then split by the slots that actually survive pruning —
             # with unpruned slot counts the 50x query log shattered into
             # 35 parts (35 dispatch units per pass) for work that fits
             # comfortably in 3
+            _tp = _time.time()
             if mode == "and" and probe_theta is None and dir0 is not None:
                 full_dir = dir0  # no heavy rows: phase-1 result is final
             else:
@@ -2047,6 +2103,8 @@ class ResidentEngine:
                     terms, qw, counts, k, span_row,
                     theta_override=probe_theta, mode=mode,
                 )
+            timings["directory"] = _time.time() - _tp
+            _tp = _time.time()
             plans = [
                 self._part_plan(
                     terms[qstart[q0]:qend[q1 - 1]], qw[qstart[q0]:qend[q1 - 1]],
@@ -2055,7 +2113,14 @@ class ResidentEngine:
                 )
                 for q0, q1, pd in self._split_parts(full_dir, counts)
             ]
-            return {"plans": plans, "n": B, "k": k, "ops": tuple(ops)}
+            timings["part_plans"] = _time.time() - _tp
+            if _os.environ.get("DS2I_ENGINE_DEBUG"):
+                from ..utils.logging import logger
+
+                logger("prepare timings: " + ", ".join(
+                    f"{k_}={v:.2f}s" for k_, v in timings.items()))
+            return {"plans": plans, "n": B, "k": k, "ops": tuple(ops),
+                    "timings": timings}
 
         # exhaustive path: part splitting by bucketed (unpruned) slot budget
         qslots = np.zeros(len(queries), dtype=np.int64)

@@ -1,17 +1,30 @@
 import os
 
 # Run all tests on a virtual 8-device CPU mesh so multi-chip sharding paths
-# are exercised without TPU hardware. Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# are exercised without TPU hardware. Must be set before jax import, and
+# must OVERRIDE the environment: the machine env carries JAX_PLATFORMS=axon
+# (the TPU-tunnel plugin), and with it set every test process initializes a
+# live tunnel client whose threads coexist badly with hundreds of XLA-CPU
+# compiles — the round-2/3 suite SIGSEGV inside backend_compile_and_load
+# reproduced only with the axon backend initialized. Forcing cpu here keeps
+# the plugin registered but never initialized: no tunnel, no extra threads.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-# The axon TPU plugin (sitecustomize) registers itself regardless of
-# JAX_PLATFORMS and becomes the default backend; route tests to CPU
-# explicitly so they are fast and deterministic.
 import jax  # noqa: E402
 
+# The axon sitecustomize calls jax.config.update("jax_platforms",
+# "axon,cpu") at interpreter startup — a programmatic config write that
+# overrides the env var — so the env assignment above is not enough.
+# Re-point the config at cpu only, BEFORE any backend initializes: the
+# axon factory stays registered but is never called, so no tunnel client
+# (and none of its threads) ever exists in a test process.
+jax.config.update("jax_platforms", "cpu")
+
+# Belt and braces: even if a stray plugin backend initializes, route
+# computation to CPU explicitly so tests are fast and deterministic.
 try:
     _cpu = jax.local_devices(backend="cpu")
     jax.config.update("jax_default_device", _cpu[0])

@@ -231,13 +231,13 @@ def test_norm_cache_matches_gather(coll, name, monkeypatch):
     cached = ResidentEngine(index, wdata)
     assert cached.normcache == 1
     got = cached.ranked_and(queries, k=10)
-    assert cached.nl_blocks is not None  # ranked run built the cache
+    assert cached.den_blocks is not None  # ranked run built the cache
 
     monkeypatch.setenv("DS2I_NORM_CACHE", "0")
     gathered = ResidentEngine(index, wdata)
     assert gathered.normcache == 0
     want = gathered.ranked_and(queries, k=10)
-    assert gathered.nl_blocks is None
+    assert gathered.den_blocks is None
 
     for a, b in zip(got, want):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -88,10 +88,9 @@ def test_probe_join_matches_sort_join(monkeypatch):
     the exhaustive and pruned paths."""
     idx, wd, qs = _build("block_optpfor", seed=13)
     eng = ResidentEngine(idx, wd, pallas=0)
-    monkeypatch.setenv("DS2I_ENGINE_PROBE", "0")
-    sort_ex = eng.ranked_and(qs, k=10)
+    sort_ex = eng.ranked_and(qs, k=10)  # sort join is the default
     sort_pr = eng.ranked_and(qs, k=10, prune=True)
-    monkeypatch.delenv("DS2I_ENGINE_PROBE")
+    monkeypatch.setenv("DS2I_ENGINE_PROBE", "1")
     probe_ex = eng.ranked_and(qs, k=10)
     probe_pr = eng.ranked_and(qs, k=10, prune=True)
     for i in range(len(qs)):
