@@ -2019,7 +2019,11 @@ class ResidentEngine:
             # index, so DS2I_ENGINE_CACHE can replay it across restarts.
             theta_key = None
             have_cached_theta = False
-            if self.cache_dir:
+            probe_enabled = (
+                _os.environ.get("DS2I_WAND_PROBE") != "0" if mode == "or"
+                else _os.environ.get("DS2I_AND_THETA") != "0"
+            )
+            if self.cache_dir and probe_enabled:
                 import hashlib as _hl
 
                 hq = _hl.blake2b(digest_size=12)
@@ -2030,6 +2034,9 @@ class ResidentEngine:
                     k, mode,
                     _os.environ.get("DS2I_AND_PROBE_MIN_BLOCKS", "128"),
                     _os.environ.get("DS2I_AND_PROBE_BLOCKS", "64"),
+                    # the AND probe's input directory is fixpoint-pruned,
+                    # so its thetas depend on this knob too
+                    _os.environ.get("DS2I_AND_FIXPOINT", "1"),
                 )
                 hq.update(str(knobs).encode())
                 theta_key = f"theta_{mode}_{hq.hexdigest()}"

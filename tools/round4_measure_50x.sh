@@ -1,0 +1,41 @@
+#!/bin/bash
+# Round-4 50x measurement (VERDICT r3 items #1/#4/#5/#7): the carried
+# 50x target is pruned ranked_and <= 5.5 us/query (BASELINE.md native
+# cursor 5.49). First run on a machine is cold (collection gen + build
+# + blockmax artifact + engine cache fill — expect >1 h); repeats are
+# cache-warm. Logs land in $OUT.
+set -u
+OUT=${OUT:-/tmp/r4_logs_50x}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+export DS2I_BENCH_DOCS=500000
+export DS2I_BENCH_POSTINGS=100000000
+export DS2I_BENCH_TERMS=5000000
+
+step() {
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name: $* ==="
+  timeout "$tmo" "$@" >"$OUT/$name.json" 2>"$OUT/$name.log"
+  echo "rc=$? $(tail -c 300 "$OUT/$name.json" 2>/dev/null)"
+}
+
+# 1. headline at 50x (cold on first run: builds every cache)
+step headline_50x 14400 python bench.py
+
+# 2. repeat, cache-warm (records warm init + warm pruned layout)
+step headline_50x_warm 7200 python bench.py
+
+# 3. probe join at 50x (the round-3 motivation: the sort join's bitonic
+#    stages dominate at this scale — measure rather than assume)
+DS2I_ENGINE_PROBE=1 step probe_join_50x 7200 python bench.py
+
+# 4. knob ablations at 50x
+DS2I_AND_THETA=0    step ablate_no_theta_50x    7200 python bench.py
+DS2I_AND_FIXPOINT=0 step ablate_no_fixpoint_50x 7200 python bench.py
+
+# 5. exhaustive + wand for the op table
+DS2I_BENCH_OP=and   step exhaustive_50x 7200 python bench.py
+DS2I_BENCH_OP=wand  step wand_50x       7200 python bench.py
+
+echo "all steps done; logs in $OUT"
