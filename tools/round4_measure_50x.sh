@@ -26,6 +26,10 @@ step headline_50x 14400 python bench.py
 # 2. repeat, cache-warm (records warm init + warm pruned layout)
 step headline_50x_warm 7200 python bench.py
 
+# 2.5 full ledger at 50x (full / compute-only / decode-only splits,
+#     VERDICT r3 item #3 wants this at both scales)
+step ledger_50x 14400 python tools/bench_ledger.py
+
 # 3. probe join at 50x (the round-3 motivation: the sort join's bitonic
 #    stages dominate at this scale — measure rather than assume)
 DS2I_ENGINE_PROBE=1 step probe_join_50x 7200 python bench.py
