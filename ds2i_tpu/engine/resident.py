@@ -531,6 +531,7 @@ def _resident_step(
     tile_gblk0=None,  # RESIDENT i32[Nt+1]: first cache row of each tile
     bucket_seg=None,  # tuple of i32[Bb, 2*tmax+2] probe-join span tables
     bucket_C=None,  # per-bucket candidate widths (python ints, static)
+    bucket_join=None,  # per-bucket "sort"/"probe" choice (prepare-time)
 ):
     """Orchestrates the three jitted stages (decode -> per-bucket join ->
     pack); plain Python so each stage's compile cache is keyed only on
@@ -553,17 +554,23 @@ def _resident_step(
     if (
         ops == ("and",)
         and bucket_seg is not None
-        and _os.environ.get("DS2I_ENGINE_PROBE") == "1"
+        and bucket_join is not None
+        and any(j == "probe" for j in bucket_join)
     ):
-        # Opt-in only: the gather-based probe join measured 25x SLOWER
-        # than the sort join on the v5e at 1x scale (85.1 vs 3.4 us/q,
-        # BENCH_r03 / docs/PERF.md round-3 section) — random gather is
-        # this chip's weakest primitive. The bitonic sort join stays
-        # the default until a per-bucket cost model proves otherwise.
+        # Per-bucket join choice, decided at PREPARE time (see _part_plan:
+        # DS2I_ENGINE_PROBE=1 forces probe, =auto applies the per-bucket
+        # cost model, default is the sort join — which measured 28x
+        # faster than all-probe on the v5e at 1x, 85.1 vs 3.0 us/q,
+        # docs/PERF.md round-4 probe-vs-sort table).
         rows = tuple(
             _probe_bucket(docs32, w32, d, q, s, num_docs=num_docs, k=k,
                           tmax=tmax, C=c)
-            for d, q, s, c in zip(bucket_dir, bucket_qwtab, bucket_seg, bucket_C)
+            if j == "probe"
+            else _join_bucket(docs32, w32, d, q, t, num_docs=num_docs, k=k,
+                              ops=ops, tmax=tmax)
+            for d, q, t, s, c, j in zip(
+                bucket_dir, bucket_qwtab, bucket_tgt, bucket_seg, bucket_C,
+                bucket_join)
         )
     else:
         rows = tuple(
@@ -1872,7 +1879,7 @@ class ResidentEngine:
             has = counts > 0
             rare_slot = np.where(has, rare_key % KEY, 0)
             rare_nb = np.where(has, rare_key // KEY, 0)
-            if _os.environ.get("DS2I_ENGINE_PROBE") == "1":
+            if _os.environ.get("DS2I_ENGINE_PROBE") in ("1", "auto"):
                 cfloor = max(_pow2_at_least(k), 64)
                 Crow = np.maximum(
                     (2 ** np.ceil(np.log2(np.maximum(rare_nb * BLOCK, 1)))).astype(np.int64),
@@ -1943,6 +1950,31 @@ class ResidentEngine:
                 pb["seg"] = seg
                 cmax = int(rare_nb[rows_b].max()) * BLOCK if len(rows_b) else 1
                 pb["C"] = max(_pow2_at_least(max(cmax, 1)), _pow2_at_least(k), 64)
+                # per-bucket join choice, fixed at prepare time:
+                #   DS2I_ENGINE_PROBE=1     every AND bucket probes
+                #   DS2I_ENGINE_PROBE=auto  cost model per bucket — probe
+                #     costs ~C*tmax*log2(L) dependent gathers vs the sort
+                #     join's ~L*log2(L)^2 compare-exchange elements; RATIO
+                #     is the measured gather-vs-sort-element cost factor
+                #     and MIN_L keeps tiny buckets (dispatch-bound, where
+                #     the serialized fori_loop underuses the chip) on the
+                #     sort join regardless (calibration: docs/PERF.md
+                #     round-4 probe-vs-sort tables)
+                #   otherwise               sort join (the measured default)
+                probe_env = _os.environ.get("DS2I_ENGINE_PROBE", "")
+                if probe_env == "1":
+                    pb["join"] = "probe"
+                elif probe_env == "auto":
+                    ratio = float(_os.environ.get("DS2I_PROBE_COST_RATIO", "8"))
+                    pmin_l = int(_os.environ.get("DS2I_PROBE_MIN_L", "65536"))
+                    L = pb["L"]
+                    pb["join"] = (
+                        "probe"
+                        if L >= pmin_l and pb["C"] * tmax * ratio < L * np.log2(L)
+                        else "sort"
+                    )
+                else:
+                    pb["join"] = "sort"
 
         # f16 download scaling: find a power of two putting every possible
         # finite score in f16's normal range [~6.1e-5, 65504); None -> f32.
@@ -2310,6 +2342,7 @@ class ResidentEngine:
                 tile_gblk0=tg0,
                 bucket_seg=d_seg,
                 bucket_C=tuple(b.get("C", 0) for b in bb),
+                bucket_join=tuple(b.get("join", "sort") for b in bb),
             )
             pending.append((p, out))
         if not _os.environ.get("DS2I_ENGINE_NOFETCH"):  # keep compute-only timing clean
