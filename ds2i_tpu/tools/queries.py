@@ -167,6 +167,16 @@ def engine_latency_sweep(index, wdata, queries, type_name, ops, k=10,
     throughput-vs-latency is an explicit tradeoff (the reference's
     protocol is per-query latency, queries.cpp:25-60; a batch engine must
     report the curve instead of a single number)."""
+    import os
+
+    import jax
+
+    # per-request plans produce many distinct (Bb, L, tmax) bucket shapes;
+    # persist their compiles so repeat sweeps skip the (dominant) XLA
+    # compile cost — same cache bench.py uses
+    cache = os.environ.get("DS2I_BENCH_CACHE", "/tmp/ds2i_bench")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(cache, "jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     from ..engine import ResidentEngine
 
     engine = ResidentEngine(index, wdata)
