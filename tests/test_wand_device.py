@@ -2,6 +2,9 @@
 exhaustive ranked_or within the reference's own tolerance
 (test_ranked_queries.cpp:14-75 pattern: pruned vs exhaustive, 0.1%)."""
 
+import gc
+
+import jax
 import numpy as np
 import pytest
 
@@ -9,6 +12,24 @@ from ds2i_tpu import GlobalParameters
 from ds2i_tpu.engine import ResidentEngine
 from ds2i_tpu.index.types import make_index_type
 from ds2i_tpu.queries.wand_data import WandData
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_per_test():
+    """This module sits near the end of the alphabetical suite order and
+    compiles the largest XLA-CPU programs; both recorded full-suite
+    SIGSEGVs (round 2 :76, round 3/4 :201/:223) happened inside
+    backend_compile_and_load DURING one of its tests, after ~250 tests'
+    compile churn, and never when the module runs alone. The
+    module-scope clearing in conftest bounds state BETWEEN modules;
+    this bounds it between tests of the module where the crash lands,
+    keeping the live-executable population minimal exactly where the
+    compiler is under the most pressure. Cross-test cache reuse here is
+    near zero (every test builds its own index shapes), so the cost is
+    noise."""
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 
 def _build(tname, seed=5, num_docs=4000, nterms=150, return_lists=False):
