@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-4 stage 2: after the sequence driver (suite run, 50x queue,
+# hybrid pipeline) finishes, run the full serial suite twice (VERDICT
+# r3 #2 done-bar: two consecutive clean runs, with the per-test cache
+# clearing fix in test_wand_device), then rerun the latency sweep —
+# its pow2-shape compile ladder now persists in the bench jax_cache,
+# so this run prices the ladder once and a final repeat is warm.
+# Launch with nohup; single-core machine, so everything is sequential.
+set -u
+cd "$(dirname "$0")/.."
+OUT=/tmp/r4_logs
+mkdir -p "$OUT"
+
+while [ -f /tmp/r4_seq.pid ] && kill -0 "$(cat /tmp/r4_seq.pid)" 2>/dev/null; do
+  sleep 60
+done
+echo "sequence driver done at $(date)"
+
+for run in 3 4; do
+  echo "suite run $run starting at $(date)"
+  timeout 3600 python -m pytest tests/ -q >"$OUT/suite_run$run.log" 2>&1
+  echo "suite run $run: rc=$? $(tail -1 "$OUT/suite_run$run.log" | tail -c 200)"
+done
+
+echo "latency sweep rerun starting at $(date)"
+timeout 10800 python -m ds2i_tpu.tools.queries block_optpfor ranked_and \
+  /tmp/ds2i_bench/block_optpfor_10000_2000000.idx /tmp/ds2i_bench/wand_1x.bin \
+  --engine resident --latency-sweep \
+  --queries /tmp/ds2i_bench/coll_10000_2000000_35000.queries \
+  >"$OUT/latency_sweep2.json" 2>"$OUT/latency_sweep2.log"
+echo "sweep rc=$?"
+echo "stage2 done at $(date)"
