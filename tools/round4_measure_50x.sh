@@ -43,3 +43,10 @@ DS2I_BENCH_OP=and   step exhaustive_50x 7200 python bench.py
 DS2I_BENCH_OP=wand  step wand_50x       7200 python bench.py
 
 echo "all steps done; logs in $OUT"
+
+# 6. results-identity evidence at 50x (VERDICT r3 #4 done-bar: pruned
+#    results identical to exhaustive) — appended while the queue ran;
+#    bash picks it up at EOF. Also reruns the probe join under
+#    DS2I_ENGINE_PROBE=auto to exercise the per-bucket cost model.
+DS2I_BENCH_VERIFY=1 step verify_50x 14400 python bench.py
+DS2I_ENGINE_PROBE=auto step auto_join_50x 7200 python bench.py
