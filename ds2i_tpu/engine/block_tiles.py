@@ -208,6 +208,39 @@ def _unpack_keys(keys):
     return statics, gid.astype(np.int64)
 
 
+def remap_dynb(statics, gid):
+    """DS2I_OPT_DYNB=1: merge the exact-b OptPFor decode classes into
+    (slot-window bucket, exception bucket) classes decoded with per-row
+    DYNAMIC b (ops/optpfor_device.py's b_static=None path).
+
+    Why: at 50x a block_optpfor pruned plan fragments into ~100 decode
+    groups (one per (b, E-bucket) combo), each a separate small HLO
+    subgraph executed sequentially; measured decode throughput was
+    ~19M slots/s (docs/PERF.md round 4) with 2.4x pow2 row-padding
+    waste across the many small groups. Coarser classes mean ~10x
+    fewer, fatter groups — more per-lane select work per row, but the
+    small-group regime was ~1% VPU utilization, so lanes are cheap.
+
+    Applied IN MEMORY after table build/cache-load (the canonical
+    exact-b grouping is what the cache stores and the native walk
+    emits, so both stay byte-identical to the tested layout)."""
+    mapping = np.zeros(max(len(statics), 1), dtype=np.int64)
+    seen = {}
+    out = []
+    for i, st in enumerate(statics):
+        if st[0] == "opt":
+            b, E, T = st[1], st[2], st[-1]
+            ws = (31 + T * min(b, 32)) // 32 + 1
+            key = ("optd", _bucket(ws, _WS_BUCKETS), E, T)
+        else:
+            key = st
+        if key not in seen:
+            seen[key] = len(out)
+            out.append(key)
+        mapping[i] = seen[key]
+    return out, mapping[np.asarray(gid, dtype=np.int64)]
+
+
 def _build_native(index, data, size, codec):
     """Thread-parallel C++ tile-table walk; None -> pure-Python fallback.
     Identical tables/statics to the Python walk (tests/test_engine.py)."""

@@ -100,6 +100,7 @@ def _pow2_at_least(x, lo=1):
 
 def _decode_block_stream(words, fld, st, R, is_docs, num_docs):
     """Decode one stream of one block group. st = ("opt", b, E, T) |
+    ("optd", WS, E, T) (merged dynamic-b classes, DS2I_OPT_DYNB=1) |
     ("var", G, T) | ("qmx", NI, S, T) | ("interp", W, T). Returns
     (R, T) doc ids (docs) or raw freqs (freqs); pads NOT yet masked."""
     from .block_tiles import BF_B, BF_BOFF, BF_EX_BOFF, BF_EX_W0, BF_NEX, BF_W0
@@ -112,6 +113,13 @@ def _decode_block_stream(words, fld, st, R, is_docs, num_docs):
         raw = optpfor_decode(
             words, fld[:, BF_W0], fld[:, BF_BOFF], fld[:, BF_B], fld[:, BF_NEX],
             fld[:, BF_EX_W0], fld[:, BF_EX_BOFF], WS=ws, E=st[2], T=T, b_static=b,
+        )
+    elif sk == "optd":
+        # merged class: per-row dynamic bit width (block_tiles.remap_dynb)
+        raw = optpfor_decode(
+            words, fld[:, BF_W0], fld[:, BF_BOFF], fld[:, BF_B], fld[:, BF_NEX],
+            fld[:, BF_EX_W0], fld[:, BF_EX_BOFF], WS=st[1], E=st[2], T=T,
+            b_static=None,
         )
     elif sk == "var":
         raw = varint_decode(
@@ -1335,6 +1343,16 @@ class ResidentEngine:
                 statics_d=np.array(self._statics_to_json(slist_d)),
                 statics_f=np.array(self._statics_to_json(slist_f)),
             )
+        import os as _os
+
+        if _os.environ.get("DS2I_OPT_DYNB") == "1":
+            # merge exact-b opt classes into dynamic-b (WS, E) classes —
+            # in memory only, AFTER cache load/save, so the persisted
+            # tables stay canonical (byte-identity with the native walk)
+            from .block_tiles import remap_dynb
+
+            slist_d, gid_d = remap_dynb(slist_d, gid_d)
+            slist_f, gid_f = remap_dynb(slist_f, gid_f)
         self.group_statics_d = slist_d
         self.tile_gid_d = gid_d
         self.group_statics_f = slist_f
