@@ -50,3 +50,8 @@ echo "all steps done; logs in $OUT"
 #    DS2I_ENGINE_PROBE=auto to exercise the per-bucket cost model.
 DS2I_BENCH_VERIFY=1 step verify_50x 14400 python bench.py
 DS2I_ENGINE_PROBE=auto step auto_join_50x 7200 python bench.py
+# 7. merged dynamic-b decode classes (the decode stage is 91% of 50x
+#    compute; ~100 exact-b groups -> ~19 fat ones). Appended mid-run;
+#    uses warm caches (remap is in-memory, canonical caches untouched).
+DS2I_OPT_DYNB=1 step dynb_50x 7200 python bench.py
+DS2I_OPT_DYNB=1 DS2I_ENGINE_PROBE=auto step dynb_auto_50x 7200 python bench.py

@@ -30,3 +30,6 @@ timeout 10800 python -m ds2i_tpu.tools.queries block_optpfor ranked_and \
   >"$OUT/latency_sweep2.json" 2>"$OUT/latency_sweep2.log"
 echo "sweep rc=$?"
 echo "stage2 done at $(date)"
+# appended: 1x measurement of the merged dynamic-b decode classes
+DS2I_OPT_DYNB=1 timeout 3600 python bench.py >/tmp/r4_logs/dynb_1x.json 2>/tmp/r4_logs/dynb_1x.log
+echo "dynb_1x rc=$? $(tail -c 300 /tmp/r4_logs/dynb_1x.json)"
