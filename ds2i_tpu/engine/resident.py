@@ -1983,7 +1983,13 @@ class ResidentEngine:
                 if probe_env == "1":
                     pb["join"] = "probe"
                 elif probe_env == "auto":
-                    ratio = float(_os.environ.get("DS2I_PROBE_COST_RATIO", "8"))
+                    # default ratio calibrated from the round-4 on-TPU
+                    # probe-vs-sort tables (docs/PERF.md): the all-probe
+                    # join measured 28x (1x) / 6.7x (50x) slower than the
+                    # sort join, i.e. a dependent gather costs ~3 orders
+                    # more than a sort element here — so probe is chosen
+                    # only for extreme C << L buckets
+                    ratio = float(_os.environ.get("DS2I_PROBE_COST_RATIO", "4096"))
                     pmin_l = int(_os.environ.get("DS2I_PROBE_MIN_L", "65536"))
                     L = pb["L"]
                     pb["join"] = (
