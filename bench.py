@@ -162,7 +162,15 @@ def main():
         pass
 
     t0 = time.time()
-    engine = ResidentEngine(index, wdata, max_part_slots=int(os.environ.get('DS2I_BENCH_PART_SLOTS', 1 << 25)))
+    engine = ResidentEngine(
+        index, wdata,
+        max_part_slots=int(os.environ.get('DS2I_BENCH_PART_SLOTS', 1 << 25)),
+        # 35k queries split into 3 parts by the engine's 16384-query
+        # default; a single part means one decode-group set per pass
+        # instead of three (measured round 4: group-launch overhead, not
+        # data, bounds the decode stage)
+        max_part_queries=int(os.environ.get('DS2I_BENCH_PART_QUERIES', 16384)),
+    )
     log(f"engine init (resident upload + tile tables): {time.time()-t0:.1f}s")
 
     # parse + lay out the batch (reference: queries parsed before op_perftest)

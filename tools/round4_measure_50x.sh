@@ -55,3 +55,5 @@ DS2I_ENGINE_PROBE=auto step auto_join_50x 7200 python bench.py
 #    uses warm caches (remap is in-memory, canonical caches untouched).
 DS2I_OPT_DYNB=1 step dynb_50x 7200 python bench.py
 DS2I_OPT_DYNB=1 DS2I_ENGINE_PROBE=auto step dynb_auto_50x 7200 python bench.py
+# 8. one part for the whole 35k-query batch (3 -> 1 decode-group sets)
+DS2I_OPT_DYNB=1 DS2I_BENCH_PART_QUERIES=65536 step dynb_1part_50x 7200 python bench.py
