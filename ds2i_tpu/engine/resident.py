@@ -107,19 +107,28 @@ def _decode_block_stream(words, fld, st, R, is_docs, num_docs):
 
     sk, T = st[0], st[-1]
     j = jnp.arange(T, dtype=jnp.int32)[None, :]
+    # TIMING DIAGNOSTIC ONLY (results wrong where blocks have
+    # exceptions): DS2I_DECODE_NOEX=1 forces the OptPFor exception
+    # capacity to 0, isolating the Simple16 exception path's share of
+    # decode time. Never a default; see docs/PERF.md round-4 decode
+    # breakdown.
+    import os as _os
+
+    _noex = _os.environ.get("DS2I_DECODE_NOEX") == "1"
     if sk == "opt":
         b = st[1]
         ws = (31 + T * min(b, 32)) // 32 + 1
         raw = optpfor_decode(
             words, fld[:, BF_W0], fld[:, BF_BOFF], fld[:, BF_B], fld[:, BF_NEX],
-            fld[:, BF_EX_W0], fld[:, BF_EX_BOFF], WS=ws, E=st[2], T=T, b_static=b,
+            fld[:, BF_EX_W0], fld[:, BF_EX_BOFF], WS=ws,
+            E=0 if _noex else st[2], T=T, b_static=b,
         )
     elif sk == "optd":
         # merged class: per-row dynamic bit width (block_tiles.remap_dynb)
         raw = optpfor_decode(
             words, fld[:, BF_W0], fld[:, BF_BOFF], fld[:, BF_B], fld[:, BF_NEX],
-            fld[:, BF_EX_W0], fld[:, BF_EX_BOFF], WS=st[1], E=st[2], T=T,
-            b_static=None,
+            fld[:, BF_EX_W0], fld[:, BF_EX_BOFF], WS=st[1],
+            E=0 if _noex else st[2], T=T, b_static=None,
         )
     elif sk == "var":
         raw = varint_decode(

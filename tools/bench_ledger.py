@@ -71,6 +71,7 @@ def main():
     engine = ResidentEngine(
         index, wdata,
         max_part_slots=int(os.environ.get("DS2I_BENCH_PART_SLOTS", 1 << 25)),
+        max_part_queries=int(os.environ.get("DS2I_BENCH_PART_QUERIES", 16384)),
     )
     log(f"engine init: {time.time()-t0:.1f}s")
 

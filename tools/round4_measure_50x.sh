@@ -57,3 +57,8 @@ DS2I_OPT_DYNB=1 step dynb_50x 7200 python bench.py
 DS2I_OPT_DYNB=1 DS2I_ENGINE_PROBE=auto step dynb_auto_50x 7200 python bench.py
 # 8. one part for the whole 35k-query batch (3 -> 1 decode-group sets)
 DS2I_OPT_DYNB=1 DS2I_BENCH_PART_QUERIES=65536 step dynb_1part_50x 7200 python bench.py
+# 9. decode-stage science: decode-only splits for the dynb variant and
+#    a no-exceptions timing diagnostic (results wrong, timing only)
+DS2I_OPT_DYNB=1 DS2I_BENCH_LEDGER_OPS=and_skip step dynb_ledger_50x 7200 python tools/bench_ledger.py
+DS2I_DECODE_NOEX=1 DS2I_BENCH_LEDGER_OPS=and_skip step noex_ledger_50x 7200 python tools/bench_ledger.py
+DS2I_BENCH_PART_QUERIES=65536 DS2I_BENCH_LEDGER_OPS=and_skip step onepart_ledger_50x 7200 python tools/bench_ledger.py
