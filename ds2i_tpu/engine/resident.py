@@ -115,20 +115,25 @@ def _decode_block_stream(words, fld, st, R, is_docs, num_docs):
     import os as _os
 
     _noex = _os.environ.get("DS2I_DECODE_NOEX") == "1"
+    # DS2I_S16_V2=1: two-stage Simple16 exception decode (bit-identical,
+    # ~10x fewer lanes — see ops/optpfor_device.py). Read at trace time:
+    # fresh processes (the bench protocol) pick it up; in-process flips
+    # need jax.clear_caches() first.
+    _s16v2 = _os.environ.get("DS2I_S16_V2") == "1"
     if sk == "opt":
         b = st[1]
         ws = (31 + T * min(b, 32)) // 32 + 1
         raw = optpfor_decode(
             words, fld[:, BF_W0], fld[:, BF_BOFF], fld[:, BF_B], fld[:, BF_NEX],
             fld[:, BF_EX_W0], fld[:, BF_EX_BOFF], WS=ws,
-            E=0 if _noex else st[2], T=T, b_static=b,
+            E=0 if _noex else st[2], T=T, b_static=b, s16_v2=_s16v2,
         )
     elif sk == "optd":
         # merged class: per-row dynamic bit width (block_tiles.remap_dynb)
         raw = optpfor_decode(
             words, fld[:, BF_W0], fld[:, BF_BOFF], fld[:, BF_B], fld[:, BF_NEX],
             fld[:, BF_EX_W0], fld[:, BF_EX_BOFF], WS=st[1],
-            E=0 if _noex else st[2], T=T, b_static=None,
+            E=0 if _noex else st[2], T=T, b_static=None, s16_v2=_s16v2,
         )
     elif sk == "var":
         raw = varint_decode(

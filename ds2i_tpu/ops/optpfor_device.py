@@ -55,9 +55,9 @@ def _extract_u32s(words, w0, boff, count):
     return lo | hi
 
 
-@partial(jax.jit, static_argnames=("WS", "E", "T", "b_static"))
+@partial(jax.jit, static_argnames=("WS", "E", "T", "b_static", "s16_v2"))
 def optpfor_decode(words, slot_w0, slot_boff, b, n_ex, ex_w0, ex_boff, WS, E,
-                   T=128, b_static=None):
+                   T=128, b_static=None, s16_v2=False):
     """Decode one group of full OptPFor blocks.
 
     words: u32[] device stream; slot_w0/slot_boff: (R,) i32 word index +
@@ -119,29 +119,65 @@ def optpfor_decode(words, slot_w0, slot_boff, b, n_ex, ex_w0, ex_boff, WS, E,
         sel = (xw >> _U32(28)).astype(jnp.int32)
         payload = xw & _U32(0x0FFFFFFF)
 
-        cnt = jnp.zeros((R, K), jnp.int32)
-        val28 = jnp.zeros((R, K, 28), _U32)
-        vmask = jnp.zeros((R, K, 28), bool)
-        slot28 = jnp.arange(28, dtype=jnp.int32)[None, None, :]
-        for m in range(16):
-            hit = sel == m
-            cnt = cnt + jnp.where(hit, _MODE_COUNT[m], 0)
-            sh = jnp.asarray(_MODE_SHIFTS[m], jnp.uint32)[None, None, :]
-            wd = jnp.asarray(_MODE_WIDTHS28[m], jnp.uint32)[None, None, :]
-            vm = (payload[:, :, None] >> sh) & ((_U32(1) << wd) - _U32(1))
-            val28 = jnp.where(hit[:, :, None], vm, val28)
-            vmask = jnp.where(hit[:, :, None], slot28 < _MODE_COUNT[m], vmask)
+        if s16_v2:
+            # v2 (round 4): the v1 scatter below is an (R, K, K*28)
+            # one-hot — the single largest lane count in the whole
+            # decode (measured: the exception path dominates decode
+            # time, docs/PERF.md round-4 breakdown). v2 replaces it
+            # with (a) mode tables via 16-row table gathers instead of
+            # a 16x unrolled select, and (b) a two-stage source lookup:
+            # per stream index k find its source WORD (an (R, K, K)
+            # comparison-sum over the sorted per-word bases), then its
+            # in-word SLOT (an (R, K, 28) one-hot) — ~10x fewer lanes,
+            # bit-identical output (tests/test_s16_v2.py).
+            shifts = jnp.asarray(_MODE_SHIFTS, jnp.uint32)[sel]  # (R, K, 28)
+            widths = jnp.asarray(_MODE_WIDTHS28, jnp.uint32)[sel]
+            cnt = jnp.asarray(_MODE_COUNT, jnp.int32)[sel]  # (R, K)
+            val28 = (payload[:, :, None] >> shifts) & (
+                (_U32(1) << widths) - _U32(1)
+            )
+            base = jnp.cumsum(cnt, axis=1) - cnt  # exclusive
+            kk = jnp.arange(K, dtype=jnp.int32)
+            # last word whose base <= k is k's source (bases are sorted;
+            # zero-count words alias the next base and mask out below)
+            w_of_k = (
+                base[:, None, :] <= kk[None, :, None]
+            ).sum(axis=2, dtype=jnp.int32) - 1  # (R, K)
+            w_of_k = jnp.clip(w_of_k, 0, K - 1)
+            valk = jnp.take_along_axis(val28, w_of_k[:, :, None], axis=1)
+            basek = jnp.take_along_axis(base, w_of_k, axis=1)
+            cntk = jnp.take_along_axis(cnt, w_of_k, axis=1)
+            s_k = kk[None, :] - basek  # in-word slot of stream index k
+            ok = (s_k >= 0) & (s_k < cntk)  # k beyond the stream -> 0
+            elem = jnp.where(
+                (jnp.arange(28, dtype=jnp.int32)[None, None, :] == s_k[:, :, None])
+                & ok[:, :, None],
+                valk, _U32(0),
+            ).sum(axis=2, dtype=_U32).astype(jnp.int32)  # (R, K)
+        else:
+            cnt = jnp.zeros((R, K), jnp.int32)
+            val28 = jnp.zeros((R, K, 28), _U32)
+            vmask = jnp.zeros((R, K, 28), bool)
+            slot28 = jnp.arange(28, dtype=jnp.int32)[None, None, :]
+            for m in range(16):
+                hit = sel == m
+                cnt = cnt + jnp.where(hit, _MODE_COUNT[m], 0)
+                sh = jnp.asarray(_MODE_SHIFTS[m], jnp.uint32)[None, None, :]
+                wd = jnp.asarray(_MODE_WIDTHS28[m], jnp.uint32)[None, None, :]
+                vm = (payload[:, :, None] >> sh) & ((_U32(1) << wd) - _U32(1))
+                val28 = jnp.where(hit[:, :, None], vm, val28)
+                vmask = jnp.where(hit[:, :, None], slot28 < _MODE_COUNT[m], vmask)
 
-        base = jnp.cumsum(cnt, axis=1) - cnt  # exclusive
-        sidx = base[:, :, None] + slot28  # stream index of each (word, slot)
-        fl_idx = sidx.reshape(R, K * 28)
-        fl_val = val28.reshape(R, K * 28)
-        fl_ok = vmask.reshape(R, K * 28)
+            base = jnp.cumsum(cnt, axis=1) - cnt  # exclusive
+            sidx = base[:, :, None] + slot28  # stream index of each (word, slot)
+            fl_idx = sidx.reshape(R, K * 28)
+            fl_val = val28.reshape(R, K * 28)
+            fl_ok = vmask.reshape(R, K * 28)
 
-        kk = jnp.arange(K, dtype=jnp.int32)[None, :, None]
-        elem = jnp.where(
-            (fl_idx[:, None, :] == kk) & fl_ok[:, None, :], fl_val[:, None, :], _U32(0)
-        ).sum(axis=2, dtype=_U32).astype(jnp.int32)  # (R, K) stream values
+            kk = jnp.arange(K, dtype=jnp.int32)[None, :, None]
+            elem = jnp.where(
+                (fl_idx[:, None, :] == kk) & fl_ok[:, None, :], fl_val[:, None, :], _U32(0)
+            ).sum(axis=2, dtype=_U32).astype(jnp.int32)  # (R, K) stream values
 
         # positions: first absolute, then gaps-1; highs (high-1) start at
         # stream index n_ex (per-row dynamic)
