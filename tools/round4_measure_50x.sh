@@ -62,3 +62,7 @@ DS2I_OPT_DYNB=1 DS2I_BENCH_PART_QUERIES=65536 step dynb_1part_50x 7200 python be
 DS2I_OPT_DYNB=1 DS2I_BENCH_LEDGER_OPS=and_skip step dynb_ledger_50x 7200 python tools/bench_ledger.py
 DS2I_DECODE_NOEX=1 DS2I_BENCH_LEDGER_OPS=and_skip step noex_ledger_50x 7200 python tools/bench_ledger.py
 DS2I_BENCH_PART_QUERIES=65536 DS2I_BENCH_LEDGER_OPS=and_skip step onepart_ledger_50x 7200 python tools/bench_ledger.py
+# 10. two-stage S16 exception decode (the suspected decode dominator)
+DS2I_S16_V2=1 step s16v2_50x 7200 python bench.py
+DS2I_S16_V2=1 DS2I_BENCH_LEDGER_OPS=and_skip step s16v2_ledger_50x 7200 python tools/bench_ledger.py
+DS2I_S16_V2=1 DS2I_BENCH_PART_QUERIES=65536 step s16v2_1part_50x 7200 python bench.py

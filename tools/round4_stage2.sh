@@ -33,3 +33,5 @@ echo "stage2 done at $(date)"
 # appended: 1x measurement of the merged dynamic-b decode classes
 DS2I_OPT_DYNB=1 timeout 3600 python bench.py >/tmp/r4_logs/dynb_1x.json 2>/tmp/r4_logs/dynb_1x.log
 echo "dynb_1x rc=$? $(tail -c 300 /tmp/r4_logs/dynb_1x.json)"
+DS2I_S16_V2=1 timeout 3600 python bench.py >/tmp/r4_logs/s16v2_1x.json 2>/tmp/r4_logs/s16v2_1x.log
+echo "s16v2_1x rc=$? $(tail -c 300 /tmp/r4_logs/s16v2_1x.json)"
