@@ -1419,6 +1419,8 @@ class ResidentEngine:
     def _order_groups(self, utidx, tile_gid, statics_list):
         """Group-major ordering of the part's tiles for one decode pass.
         Returns (groups, gtile_ids, tblk, sent_blk, total_blocks)."""
+        import os as _os_og
+
         ntiles = len(utidx)
         bkey = tile_gid[utidx] if ntiles else np.zeros(0, np.int64)
         order = np.argsort(bkey, kind="stable")
@@ -1443,7 +1445,17 @@ class ResidentEngine:
             T = st[-1]
             bpt = max(T // BLOCK, 1)
             # last group gets one guaranteed pad row (the sentinel block)
-            R = _pow2_at_least(cnt + (1 if gi == ngroups - 1 else 0), lo=8)
+            need = cnt + (1 if gi == ngroups - 1 else 0)
+            R = _pow2_at_least(need, lo=8)
+            if R > 8 and _os_og.environ.get("DS2I_R_FINE") == "1":
+                # quarter-pow2 ladder: padding drops from <=2x to <=1.25x
+                # (measured round 4: pow2 row padding inflated 50x decode
+                # work 2.4x across ~300 small groups). ~3x more compile
+                # keys, amortized by the persistent compile cache.
+                for c in (R // 2 * 5 // 4, R // 2 * 6 // 4, R // 2 * 7 // 4):
+                    if need <= c:
+                        R = c
+                        break
             ids = np.full(R, self.pad_tile, dtype=_I32)
             ids[:cnt] = utidx[sel]
             tblk[sel] = gblk + np.arange(cnt) * bpt

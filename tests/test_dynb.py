@@ -78,6 +78,24 @@ def test_dynb_merges_groups_and_matches_oracle(monkeypatch):
         np.testing.assert_allclose(a1[i], a0[i], rtol=1e-6, err_msg=f"q{i}")
 
 
+def test_r_fine_ladder_bit_identical(monkeypatch):
+    """DS2I_R_FINE=1 pads decode-group rows on a quarter-pow2 ladder
+    instead of pow2 (<=1.25x padding vs <=2x); results must be
+    bit-equal — pad rows decode garbage that is masked either way."""
+    idx, wd, qs = _build(seed=31)
+    e0 = ResidentEngine(idx, wd, pallas=0)
+    a0 = e0.ranked_and(qs, k=10)
+    p0 = e0.ranked_and(qs, k=10, prune=True)
+    jax.clear_caches()
+    monkeypatch.setenv("DS2I_R_FINE", "1")
+    e1 = ResidentEngine(idx, wd, pallas=0)
+    a1 = e1.ranked_and(qs, k=10)
+    p1 = e1.ranked_and(qs, k=10, prune=True)
+    for i in range(len(qs)):
+        np.testing.assert_array_equal(a1[i], a0[i], err_msg=f"and q{i}")
+        np.testing.assert_array_equal(p1[i], p0[i], err_msg=f"pruned q{i}")
+
+
 def test_dynb_blockmax_metadata_identical(monkeypatch):
     idx, wd, _ = _build(seed=23, num_docs=1500, nterms=50)
     e0 = ResidentEngine(idx, wd, pallas=0)
