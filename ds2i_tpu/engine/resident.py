@@ -115,11 +115,16 @@ def _decode_block_stream(words, fld, st, R, is_docs, num_docs):
     import os as _os
 
     _noex = _os.environ.get("DS2I_DECODE_NOEX") == "1"
-    # DS2I_S16_V2=1: two-stage Simple16 exception decode (bit-identical,
-    # ~10x fewer lanes — see ops/optpfor_device.py). Read at trace time:
-    # fresh processes (the bench protocol) pick it up; in-process flips
-    # need jax.clear_caches() first.
-    _s16v2 = _os.environ.get("DS2I_S16_V2") == "1"
+    # DS2I_S16_V2: Simple16 exception decode variant — 1 = two-stage via
+    # gathers (measured slower, kept for the record), 2 = gather-free
+    # two-stage with MXU matmul contractions (bit-identical; see
+    # ops/optpfor_device.py). Read at trace time: fresh processes (the
+    # bench protocol) pick it up; in-process flips need
+    # jax.clear_caches() first.
+    try:
+        _s16v2 = int(_os.environ.get("DS2I_S16_V2", "0") or "0")
+    except ValueError:
+        _s16v2 = 0
     if sk == "opt":
         b = st[1]
         ws = (31 + T * min(b, 32)) // 32 + 1

@@ -57,7 +57,7 @@ def _extract_u32s(words, w0, boff, count):
 
 @partial(jax.jit, static_argnames=("WS", "E", "T", "b_static", "s16_v2"))
 def optpfor_decode(words, slot_w0, slot_boff, b, n_ex, ex_w0, ex_boff, WS, E,
-                   T=128, b_static=None, s16_v2=False):
+                   T=128, b_static=None, s16_v2=0):
     """Decode one group of full OptPFor blocks.
 
     words: u32[] device stream; slot_w0/slot_boff: (R,) i32 word index +
@@ -119,17 +119,61 @@ def optpfor_decode(words, slot_w0, slot_boff, b, n_ex, ex_w0, ex_boff, WS, E,
         sel = (xw >> _U32(28)).astype(jnp.int32)
         payload = xw & _U32(0x0FFFFFFF)
 
-        if s16_v2:
-            # v2 (round 4): the v1 scatter below is an (R, K, K*28)
-            # one-hot — the single largest lane count in the whole
-            # decode (measured: the exception path dominates decode
-            # time, docs/PERF.md round-4 breakdown). v2 replaces it
-            # with (a) mode tables via 16-row table gathers instead of
-            # a 16x unrolled select, and (b) a two-stage source lookup:
-            # per stream index k find its source WORD (an (R, K, K)
-            # comparison-sum over the sorted per-word bases), then its
-            # in-word SLOT (an (R, K, 28) one-hot) — ~10x fewer lanes,
-            # bit-identical output (tests/test_s16_v2.py).
+        if s16_v2 == 2:
+            # v3 (round 4): gather-free two-stage lookup with the heavy
+            # contractions on the MXU. v1's scatter is an (R, K, K*28)
+            # one-hot — the largest lane count in the whole decode
+            # (DS2I_DECODE_NOEX measured the exception path at ~half of
+            # decode time); v2 tried table gathers + take_along_axis
+            # and measured SLOWER (random gather is this chip's weakest
+            # primitive — again). v3 keeps everything one-hot but moves
+            # the (K_t x K_w) @ (K_w x 28) value contraction to batched
+            # matmuls over 8-bit value chunks: one-hot rows times ints
+            # <= 2^8 sum exactly (single nonzero term), so any matmul
+            # precision is bit-exact. Bit-identity: tests/test_s16_v2.py.
+            oh_m = (sel[:, :, None] == jnp.arange(16, dtype=jnp.int32)).astype(
+                jnp.float32
+            )  # (R, K, 16)
+            sh_t = jnp.asarray(_MODE_SHIFTS, jnp.float32)  # (16, 28), vals <= 28
+            wd_t = jnp.asarray(_MODE_WIDTHS28, jnp.float32)
+            cn_t = jnp.asarray(_MODE_COUNT, jnp.float32)  # (16,)
+            shifts = jnp.einsum("rkm,ms->rks", oh_m, sh_t).astype(_U32)
+            widths = jnp.einsum("rkm,ms->rks", oh_m, wd_t).astype(_U32)
+            cnt = jnp.einsum("rkm,m->rk", oh_m, cn_t).astype(jnp.int32)
+            val28 = (payload[:, :, None] >> shifts) & (
+                (_U32(1) << widths) - _U32(1)
+            )  # (R, K, 28) ints < 2^28
+            base = jnp.cumsum(cnt, axis=1) - cnt  # exclusive, sorted
+            kk = jnp.arange(K, dtype=jnp.int32)
+            # last word whose base <= k is k's source; zero-count words
+            # alias the next base and are masked by the cnt check below
+            le = base[:, None, :] <= kk[None, :, None]  # (R, K_t, K_w)
+            w_of_k = le.sum(axis=2, dtype=jnp.int32) - 1
+            hw = (
+                w_of_k[:, :, None] == kk[None, None, :]
+            ).astype(jnp.float32)  # (R, K_t, K_w) one-hot
+            basek = jnp.einsum("rkw,rw->rk", hw, base.astype(jnp.float32)).astype(
+                jnp.int32
+            )
+            cntk = jnp.einsum("rkw,rw->rk", hw, cnt.astype(jnp.float32)).astype(
+                jnp.int32
+            )
+            # value rows via 4 exact 8-bit-chunk matmuls on the MXU
+            valk = jnp.zeros((R, K, 28), _U32)
+            for c in range(4):
+                chunk = ((val28 >> _U32(8 * c)) & _U32(0xFF)).astype(jnp.float32)
+                got = jnp.einsum("rkw,rws->rks", hw, chunk)
+                valk = valk | (got.astype(_U32) << _U32(8 * c))
+            s_k = kk[None, :] - basek  # in-word slot of stream index k
+            ok = (s_k >= 0) & (s_k < cntk)  # k beyond the stream -> 0
+            elem = jnp.where(
+                (jnp.arange(28, dtype=jnp.int32)[None, None, :] == s_k[:, :, None])
+                & ok[:, :, None],
+                valk, _U32(0),
+            ).sum(axis=2, dtype=_U32).astype(jnp.int32)  # (R, K)
+        elif s16_v2 == 1:
+            # v2: two-stage via table gathers + take_along_axis. Measured
+            # SLOWER than v1 on the v5e (gathers); kept for the record.
             shifts = jnp.asarray(_MODE_SHIFTS, jnp.uint32)[sel]  # (R, K, 28)
             widths = jnp.asarray(_MODE_WIDTHS28, jnp.uint32)[sel]
             cnt = jnp.asarray(_MODE_COUNT, jnp.int32)[sel]  # (R, K)

@@ -25,8 +25,9 @@ def _clear_jax_caches_per_test():
     gc.collect()
 
 
+@pytest.mark.parametrize("variant", ["1", "2"])
 @pytest.mark.parametrize("seed,fmax", [(3, 50), (11, 5000), (29, 200000)])
-def test_s16_v2_bit_identical(monkeypatch, seed, fmax):
+def test_s16_v2_bit_identical(monkeypatch, seed, fmax, variant):
     rng = np.random.RandomState(seed)
     num_docs, nterms = 2000, 70
     sizes = rng.randint(40, 300, num_docs).astype(np.int64)
@@ -55,7 +56,7 @@ def test_s16_v2_bit_identical(monkeypatch, seed, fmax):
     a0 = e0.ranked_and(qs, k=10)
     o0 = e0.ranked_or(qs, k=10)
     jax.clear_caches()
-    monkeypatch.setenv("DS2I_S16_V2", "1")
+    monkeypatch.setenv("DS2I_S16_V2", variant)
     e1 = ResidentEngine(idx, wd, pallas=0)
     a1 = e1.ranked_and(qs, k=10)
     o1 = e1.ranked_or(qs, k=10)
