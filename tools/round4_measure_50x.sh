@@ -69,3 +69,7 @@ DS2I_S16_V2=1 DS2I_BENCH_PART_QUERIES=65536 step s16v2_1part_50x 7200 python ben
 # 11. s16v2 + fine row ladder (padding <=1.25x) — the candidate new default
 DS2I_S16_V2=1 DS2I_R_FINE=1 step s16v2_fine_50x 7200 python bench.py
 DS2I_S16_V2=1 DS2I_R_FINE=1 DS2I_BENCH_LEDGER_OPS=and_skip step s16v2_fine_ledger_50x 7200 python tools/bench_ledger.py
+# 12. v3 exception decode: gather-free + MXU contractions
+DS2I_S16_V2=2 step s16v3_50x 7200 python bench.py
+DS2I_S16_V2=2 DS2I_BENCH_LEDGER_OPS=and_skip step s16v3_ledger_50x 7200 python tools/bench_ledger.py
+DS2I_S16_V2=2 DS2I_R_FINE=1 step s16v3_fine_50x 7200 python bench.py
