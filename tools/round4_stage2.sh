@@ -37,3 +37,7 @@ DS2I_S16_V2=1 timeout 3600 python bench.py >/tmp/r4_logs/s16v2_1x.json 2>/tmp/r4
 echo "s16v2_1x rc=$? $(tail -c 300 /tmp/r4_logs/s16v2_1x.json)"
 DS2I_S16_V2=2 timeout 3600 python bench.py >/tmp/r4_logs/s16v3_1x.json 2>/tmp/r4_logs/s16v3_1x.log
 echo "s16v3_1x rc=$? $(tail -c 300 /tmp/r4_logs/s16v3_1x.json)"
+DS2I_S16_V2=2 DS2I_R_FINE=1 timeout 3600 python bench.py >/tmp/r4_logs/s16v3_fine_1x.json 2>/tmp/r4_logs/s16v3_fine_1x.log
+echo "s16v3_fine_1x rc=$? $(tail -c 300 /tmp/r4_logs/s16v3_fine_1x.json)"
+DS2I_R_FINE=1 timeout 3600 python bench.py >/tmp/r4_logs/fine_1x.json 2>/tmp/r4_logs/fine_1x.log
+echo "fine_1x rc=$? $(tail -c 300 /tmp/r4_logs/fine_1x.json)"
