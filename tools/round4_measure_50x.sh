@@ -73,3 +73,5 @@ DS2I_S16_V2=1 DS2I_R_FINE=1 DS2I_BENCH_LEDGER_OPS=and_skip step s16v2_fine_ledge
 DS2I_S16_V2=2 step s16v3_50x 7200 python bench.py
 DS2I_S16_V2=2 DS2I_BENCH_LEDGER_OPS=and_skip step s16v3_ledger_50x 7200 python tools/bench_ledger.py
 DS2I_S16_V2=2 DS2I_R_FINE=1 step s16v3_fine_50x 7200 python bench.py
+# 13. fine ladder alone (isolate its share of the s16v2_fine win)
+DS2I_R_FINE=1 step fine_50x 7200 python bench.py
