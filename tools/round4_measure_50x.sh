@@ -75,3 +75,8 @@ DS2I_S16_V2=2 DS2I_BENCH_LEDGER_OPS=and_skip step s16v3_ledger_50x 7200 python t
 DS2I_S16_V2=2 DS2I_R_FINE=1 step s16v3_fine_50x 7200 python bench.py
 # 13. fine ladder alone (isolate its share of the s16v2_fine win)
 DS2I_R_FINE=1 step fine_50x 7200 python bench.py
+# 14. 1x numbers for the default-flip decision (override the 50x scale)
+DS2I_BENCH_DOCS=10000 DS2I_BENCH_POSTINGS=2000000 DS2I_BENCH_TERMS=110000 \
+  DS2I_R_FINE=1 step fine_1x_early 3600 python bench.py
+DS2I_BENCH_DOCS=10000 DS2I_BENCH_POSTINGS=2000000 DS2I_BENCH_TERMS=110000 \
+  step default_1x_recheck 3600 python bench.py
