@@ -1452,11 +1452,16 @@ class ResidentEngine:
             # last group gets one guaranteed pad row (the sentinel block)
             need = cnt + (1 if gi == ngroups - 1 else 0)
             R = _pow2_at_least(need, lo=8)
-            if R > 8 and _os_og.environ.get("DS2I_R_FINE") == "1":
+            if R > 8 and _os_og.environ.get("DS2I_R_FINE", "1") != "0":
                 # quarter-pow2 ladder: padding drops from <=2x to <=1.25x
-                # (measured round 4: pow2 row padding inflated 50x decode
-                # work 2.4x across ~300 small groups). ~3x more compile
-                # keys, amortized by the persistent compile cache.
+                # (pow2 row padding inflated 50x decode work 2.4x across
+                # ~300 small groups). DEFAULT since round 4, measured on
+                # the v5e in the same change: 50x and_skip 7.87 us/q vs
+                # 11.70 pow2 (-33%), 1x 2.83 vs 3.15 (docs/PERF.md
+                # round-4 tables); bit-identical results
+                # (tests/test_dynb.py::test_r_fine_ladder_bit_identical).
+                # ~3x more compile keys, amortized by the persistent
+                # compile cache. DS2I_R_FINE=0 restores pow2 rows.
                 for c in (R // 2 * 5 // 4, R // 2 * 6 // 4, R // 2 * 7 // 4):
                     if need <= c:
                         R = c

@@ -79,10 +79,11 @@ def test_dynb_merges_groups_and_matches_oracle(monkeypatch):
 
 
 def test_r_fine_ladder_bit_identical(monkeypatch):
-    """DS2I_R_FINE=1 pads decode-group rows on a quarter-pow2 ladder
-    instead of pow2 (<=1.25x padding vs <=2x); results must be
-    bit-equal — pad rows decode garbage that is masked either way."""
+    """The quarter-pow2 decode-row ladder (default since round 4;
+    DS2I_R_FINE=0 restores pow2) must be bit-equal to pow2 padding —
+    pad rows decode garbage that is masked either way."""
     idx, wd, qs = _build(seed=31)
+    monkeypatch.setenv("DS2I_R_FINE", "0")
     e0 = ResidentEngine(idx, wd, pallas=0)
     a0 = e0.ranked_and(qs, k=10)
     p0 = e0.ranked_and(qs, k=10, prune=True)
