@@ -41,3 +41,10 @@ DS2I_S16_V2=2 DS2I_R_FINE=1 timeout 3600 python bench.py >/tmp/r4_logs/s16v3_fin
 echo "s16v3_fine_1x rc=$? $(tail -c 300 /tmp/r4_logs/s16v3_fine_1x.json)"
 DS2I_R_FINE=1 timeout 3600 python bench.py >/tmp/r4_logs/fine_1x.json 2>/tmp/r4_logs/fine_1x.log
 echo "fine_1x rc=$? $(tail -c 300 /tmp/r4_logs/fine_1x.json)"
+# appended: 50x wand + verified headline at HEAD defaults (fine ladder)
+export DS2I_BENCH_DOCS=500000 DS2I_BENCH_POSTINGS=100000000 DS2I_BENCH_TERMS=5000000
+DS2I_BENCH_OP=wand timeout 7200 python bench.py >/tmp/r4_logs/wand_fine_50x.json 2>/tmp/r4_logs/wand_fine_50x.log
+echo "wand_fine_50x rc=$? $(tail -c 300 /tmp/r4_logs/wand_fine_50x.json)"
+DS2I_BENCH_VERIFY=1 timeout 14400 python bench.py >/tmp/r4_logs/verify_fine_50x.json 2>/tmp/r4_logs/verify_fine_50x.log
+echo "verify_fine_50x rc=$? $(tail -c 300 /tmp/r4_logs/verify_fine_50x.json)"
+echo "stage2 fully done at $(date)"
