@@ -55,6 +55,12 @@ BF_NEX = 3
 BF_EX_W0 = 4  # OPT: exception word; QMX: last-selector word; INTERP: sum
 BF_BOFF = 5
 BF_EX_BOFF = 6
+# OPT only, filled IN MEMORY at engine init when exception patch tables
+# are active (never persisted — the cached tables stay canonical):
+# absolute word index of the row's first resident (position, high<<b)
+# patch pair (build_exception_patches). Column 7 is unused by the
+# canonical block walk (it is F_LB_BITOFF in the EF tile layout).
+BF_EX_BASE = 7
 
 _MODE_COUNT = [sum(c for c, _ in mode) for mode in S16_MODES]
 
@@ -208,37 +214,116 @@ def _unpack_keys(keys):
     return statics, gid.astype(np.int64)
 
 
-def remap_dynb(statics, gid):
-    """DS2I_OPT_DYNB=1: merge the exact-b OptPFor decode classes into
-    (slot-window bucket, exception bucket) classes decoded with per-row
-    DYNAMIC b (ops/optpfor_device.py's b_static=None path).
+_S16_MODE_COUNT_ARR = np.asarray(_MODE_COUNT, dtype=np.int64)
+# rectangular (16, 28) shift/width tables for vectorized decode
+_S16_SH28 = np.zeros((16, 28), dtype=np.uint64)
+_S16_WD28 = np.zeros((16, 28), dtype=np.uint64)
+for _m, _mode in enumerate(S16_MODES):
+    _ws = [b for c, b in _mode for _ in range(c)]
+    _S16_WD28[_m, : len(_ws)] = _ws
+    _S16_SH28[_m, : len(_ws)] = np.concatenate([[0], np.cumsum(_ws)[:-1]])
 
-    Why: at 50x a block_optpfor pruned plan fragments into ~100 decode
-    groups (one per (b, E-bucket) combo), each a separate small HLO
-    subgraph executed sequentially; measured decode throughput was
-    ~19M slots/s (docs/PERF.md round 4) with 2.4x pow2 row-padding
-    waste across the many small groups. Coarser classes mean ~10x
-    fewer, fatter groups — more per-lane select work per row, but the
-    small-group regime was ~1% VPU utilization, so lanes are cheap.
 
-    Applied IN MEMORY after table build/cache-load (the canonical
-    exact-b grouping is what the cache stores and the native walk
-    emits, so both stay byte-identical to the tested layout)."""
-    mapping = np.zeros(max(len(statics), 1), dtype=np.int64)
-    seen = {}
-    out = []
-    for i, st in enumerate(statics):
-        if st[0] == "opt":
-            b, E, T = st[1], st[2], st[-1]
-            ws = (31 + T * min(b, 32)) // 32 + 1
-            key = ("optd", _bucket(ws, _WS_BUCKETS), E, T)
-        else:
-            key = st
-        if key not in seen:
-            seen[key] = len(out)
-            out.append(key)
-        mapping[i] = seen[key]
-    return out, mapping[np.asarray(gid, dtype=np.int64)]
+def _decode_s16_exception_rows(words, w0, boff, nex, b, out_pos, out_add, base):
+    """Vectorized host decode of one chunk of OptPFor exception streams
+    (same math as ops/optpfor_device.py's in-pass path): rows r have
+    Simple16 streams of 2*nex[r] values at word w0[r], bit boff[r];
+    writes nex[r] (slot position, high<<b) pairs per row into
+    out_pos/out_add at entry offsets base[r]."""
+    R = len(w0)
+    if not R:
+        return
+    Em = int(nex.max())
+    K = 2 * Em
+    nw = len(words)
+    widx = np.minimum(w0[:, None].astype(np.int64) + np.arange(K + 1, dtype=np.int64), nw - 1)
+    wv = words[widx].astype(np.uint64)  # (R, K+1)
+    s = boff[:, None].astype(np.uint64)
+    xw = ((wv[:, :K] >> s) | np.where(s > 0, wv[:, 1:] << (np.uint64(32) - s), 0)) & np.uint64(
+        0xFFFFFFFF
+    )
+    sel = (xw >> np.uint64(28)).astype(np.int64)
+    payload = xw & np.uint64(0x0FFFFFFF)
+    cnt = _S16_MODE_COUNT_ARR[sel]  # (R, K)
+    sh = _S16_SH28[sel]  # (R, K, 28) u64
+    wd = _S16_WD28[sel]
+    val28 = (payload[:, :, None] >> sh) & ((np.uint64(1) << wd) - np.uint64(1))
+    base_k = np.cumsum(cnt, axis=1) - cnt  # exclusive
+    slot28 = np.arange(28, dtype=np.int64)[None, None, :]
+    sidx = base_k[:, :, None] + slot28
+    ok = (slot28 < cnt[:, :, None]) & (sidx < K)
+    elem = np.zeros((R, K), dtype=np.uint64)
+    rr = np.broadcast_to(np.arange(R, dtype=np.int64)[:, None, None], sidx.shape)
+    elem[rr[ok], sidx[ok]] = val28[ok]
+    # positions: first absolute, then gaps-1
+    steps = np.concatenate([elem[:, :1], elem[:, 1:Em] + 1], axis=1).astype(np.int64)
+    pos = np.cumsum(steps, axis=1)  # (R, Em)
+    eidx = np.minimum(nex[:, None].astype(np.int64) + np.arange(Em, dtype=np.int64), K - 1)
+    high = np.take_along_axis(elem, eidx, axis=1) + 1
+    add = (high << b[:, None].astype(np.uint64)) & np.uint64(0xFFFFFFFF)
+    evalid = np.arange(Em, dtype=np.int64)[None, :] < nex[:, None]
+    dest = base[:, None] + np.arange(Em, dtype=np.int64)
+    out_pos[dest[evalid]] = pos[evalid].astype(np.uint32)
+    out_add[dest[evalid]] = add[evalid].astype(np.uint32)
+
+
+def build_exception_patches(words, fields_list):
+    """Decode every OptPFor exception stream ONCE into flat resident
+    patch words (docs/PERF.md 'identified round-5 decode fix'): for each
+    OPT row of each stream table, nex (slot position, high<<b) u32 pairs
+    in canonical table order, docs table first. Returns
+    (patch_words u32[2*NE], bases list of i64[rows-per-table] entry
+    indices, -1 for non-OPT/zero-exception rows).
+
+    These are STATIC derived data — the analogue of the reference
+    decoder doing this work inside every query's cursor walk
+    (block_codecs.hpp:203-216); here it runs once per index and the
+    result lives in HBM (~8 bytes/exception)."""
+    sels = []
+    total = 0
+    bases = []
+    for f in fields_list:
+        is_opt = (f[:, F_KIND] == KIND_OPT) & (f[:, BF_NEX] > 0)
+        rows = np.nonzero(is_opt)[0]
+        nex = f[rows, BF_NEX].astype(np.int64)
+        base = np.full(len(f), -1, dtype=np.int64)
+        base[rows] = total + np.cumsum(nex) - nex
+        bases.append(base)
+        sels.append((f, rows, nex, base))
+        total += int(nex.sum())
+    out_pos = np.zeros(total, dtype=np.uint32)
+    out_add = np.zeros(total, dtype=np.uint32)
+    for f, rows, nex, base in sels:
+        if not len(rows):
+            continue
+        # chunk rows sorted by exception count so each chunk's dense
+        # (R, 2*Em, 28) temporary stays in budget
+        srt = np.argsort(nex, kind="stable")
+        order, onex = rows[srt], nex[srt]
+        budget = 1 << 26  # u64 elements (~512MB peak temporary)
+        i = 0
+        while i < len(order):
+            hi = i + 1
+            Em = int(onex[i])
+            while hi < len(order):
+                Em2 = max(Em, int(onex[hi]))
+                if (hi + 1 - i) * 2 * Em2 * 28 > budget:
+                    break
+                Em, hi = Em2, hi + 1
+            ch = order[i:hi]
+            _decode_s16_exception_rows(
+                words,
+                f[ch, BF_EX_W0].astype(np.int64),
+                f[ch, BF_EX_BOFF].astype(np.int64),
+                f[ch, BF_NEX].astype(np.int64),
+                f[ch, BF_B].astype(np.int64),
+                out_pos, out_add, base[ch],
+            )
+            i = hi
+    patch = np.empty(2 * total, dtype=np.uint32)
+    patch[0::2] = out_pos
+    patch[1::2] = out_add
+    return patch, bases
 
 
 def _build_native(index, data, size, codec):

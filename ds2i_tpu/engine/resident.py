@@ -100,45 +100,44 @@ def _pow2_at_least(x, lo=1):
 
 def _decode_block_stream(words, fld, st, R, is_docs, num_docs):
     """Decode one stream of one block group. st = ("opt", b, E, T) |
-    ("optd", WS, E, T) (merged dynamic-b classes, DS2I_OPT_DYNB=1) |
-    ("var", G, T) | ("qmx", NI, S, T) | ("interp", W, T). Returns
-    (R, T) doc ids (docs) or raw freqs (freqs); pads NOT yet masked."""
-    from .block_tiles import BF_B, BF_BOFF, BF_EX_BOFF, BF_EX_W0, BF_NEX, BF_W0
+    ("optp", b, E, T) (resident exception patch tables — default for
+    block indexes since round 5) | ("var", G, T) | ("qmx", NI, S, T) |
+    ("interp", W, T). Returns (R, T) doc ids (docs) or raw freqs
+    (freqs); pads NOT yet masked."""
+    from .block_tiles import (
+        BF_B, BF_BOFF, BF_EX_BASE, BF_EX_BOFF, BF_EX_W0, BF_NEX, BF_W0,
+    )
 
     sk, T = st[0], st[-1]
     j = jnp.arange(T, dtype=jnp.int32)[None, :]
     # TIMING DIAGNOSTIC ONLY (results wrong where blocks have
     # exceptions): DS2I_DECODE_NOEX=1 forces the OptPFor exception
-    # capacity to 0, isolating the Simple16 exception path's share of
-    # decode time. Never a default; see docs/PERF.md round-4 decode
-    # breakdown.
+    # capacity to 0, isolating the exception path's share of decode
+    # time. Never a default; ResidentEngine.__init__ warns loudly when
+    # it is set. See docs/PERF.md round-4 decode breakdown.
     import os as _os
 
     _noex = _os.environ.get("DS2I_DECODE_NOEX") == "1"
-    # DS2I_S16_V2: Simple16 exception decode variant — 1 = two-stage via
-    # gathers (measured slower, kept for the record), 2 = gather-free
-    # two-stage with MXU matmul contractions (bit-identical; see
-    # ops/optpfor_device.py). Read at trace time: fresh processes (the
-    # bench protocol) pick it up; in-process flips need
-    # jax.clear_caches() first.
-    try:
-        _s16v2 = int(_os.environ.get("DS2I_S16_V2", "0") or "0")
-    except ValueError:
-        _s16v2 = 0
     if sk == "opt":
         b = st[1]
         ws = (31 + T * min(b, 32)) // 32 + 1
         raw = optpfor_decode(
             words, fld[:, BF_W0], fld[:, BF_BOFF], fld[:, BF_B], fld[:, BF_NEX],
             fld[:, BF_EX_W0], fld[:, BF_EX_BOFF], WS=ws,
-            E=0 if _noex else st[2], T=T, b_static=b, s16_v2=_s16v2,
+            E=0 if _noex else st[2], T=T, b_static=b,
         )
-    elif sk == "optd":
-        # merged class: per-row dynamic bit width (block_tiles.remap_dynb)
+    elif sk == "optp":
+        # resident exception patch tables: the Simple16 exception
+        # streams were decoded once at engine init into (position,
+        # high<<b) pairs appended to the resident stream
+        # (block_tiles.build_exception_patches); BF_EX_BASE carries each
+        # row's first patch-pair word. Bit-identical to "opt" (tested).
+        b = st[1]
+        ws = (31 + T * min(b, 32)) // 32 + 1
         raw = optpfor_decode(
             words, fld[:, BF_W0], fld[:, BF_BOFF], fld[:, BF_B], fld[:, BF_NEX],
-            fld[:, BF_EX_W0], fld[:, BF_EX_BOFF], WS=st[1],
-            E=0 if _noex else st[2], T=T, b_static=None, s16_v2=_s16v2,
+            fld[:, BF_EX_BASE], fld[:, BF_EX_BOFF], WS=ws,
+            E=0 if _noex else st[2], T=T, b_static=b, ex_patch=True,
         )
     elif sk == "var":
         raw = varint_decode(
@@ -444,76 +443,6 @@ def _join_bucket(docs32, w32, bdir, qwtab, tgtv, num_docs, k, ops, tmax):
     return jnp.concatenate(res, axis=1)
 
 
-@partial(jax.jit, static_argnames=("num_docs", "k", "tmax", "C"))
-def _probe_bucket(docs32, w32, bdir, qwtab, seg, num_docs, k, tmax, C):
-    """Probe join for pure-AND buckets: the device analogue of the
-    reference AND cursor's next_geq leapfrog (queries.hpp:59-82,
-    block_posting_list.hpp:124-146) at POSTING granularity. Instead of
-    sorting the row's full L-slot union (O(L log^2 L) bitonic stages —
-    the sort dominates at 50x where heavy rows pad to 256k slots), take
-    the row's rarest term's slots as candidates and binary-search each
-    candidate in every other term's slot run (runs are docid-sorted by
-    construction: blocks ascend within a span, slots ascend within a
-    block). O(C * tmax * log L) vectorized gathers, C = rarest-span
-    slots. Exact: a doc is in the intersection iff every span finds it,
-    and each found slot contributes its exact qw-weighted doc-term
-    weight (f32 sum order differs from the sort join's run accumulation
-    by association only — within the reference's own 0.1% ranked
-    tolerance, test_ranked_queries.cpp:52).
-
-    seg packs per-row i32 tables: [span slot offsets (tmax) | span slot
-    lengths (tmax) | rarest span index | active span count]."""
-    Bb, nb_row = bdir.shape
-    L = nb_row * BLOCK
-    LOG2L = max(L.bit_length() - 1, 1)
-    blkidx = bdir >> 5
-    slot = bdir & 31
-    qw = jnp.take_along_axis(qwtab, slot, axis=1)  # (Bb, L/32)
-    d = jnp.take(docs32, blkidx, axis=0).reshape(Bb, L)
-    w = (jnp.take(w32, blkidx, axis=0) * qw[:, :, None]).reshape(Bb, L)
-
-    so = seg[:, :tmax]
-    sl = seg[:, tmax : 2 * tmax]
-    rare = seg[:, 2 * tmax]
-    tcnt = seg[:, 2 * tmax + 1]
-
-    roff = jnp.take_along_axis(so, rare[:, None], axis=1)  # (Bb, 1)
-    rlen = jnp.take_along_axis(sl, rare[:, None], axis=1)
-    ar = jnp.arange(C, dtype=jnp.int32)[None, :]
-    cmask = ar < rlen
-    cidx = jnp.minimum(roff + ar, L - 1)
-    cd = jnp.take_along_axis(d, cidx, axis=1)  # candidate docids
-    cw = jnp.take_along_axis(w, cidx, axis=1)
-    cd = jnp.where(cmask, cd, num_docs)
-    present = cd < num_docs  # pads (num_docs) can never match below
-    score = jnp.where(present, cw, 0.0)
-
-    for s in range(tmax):
-        off = so[:, s][:, None]
-        n = sl[:, s][:, None]
-
-        # branchless lower bound of cd within d[:, off:off+n) — one
-        # fori_loop gather per bit keeps the HLO small (compile time)
-        def step(i, pos):
-            cand = pos + jnp.left_shift(jnp.int32(1), jnp.int32(LOG2L - 1) - i)
-            idx = jnp.minimum(off + cand - 1, L - 1)
-            v = jnp.take_along_axis(d, idx, axis=1)
-            return jnp.where((cand <= n) & (v < cd), cand, pos)
-
-        pos = jax.lax.fori_loop(
-            0, LOG2L, step, jnp.zeros((Bb, C), dtype=jnp.int32)
-        )
-        fidx = jnp.minimum(off + pos, L - 1)
-        found = (pos < n) & (jnp.take_along_axis(d, fidx, axis=1) == cd)
-        is_rare = (rare == s)[:, None]
-        active = (tcnt > s)[:, None]
-        hit = found & active & ~is_rare
-        score = score + jnp.where(hit, jnp.take_along_axis(w, fidx, axis=1), 0.0)
-        present = present & (found | is_rare | ~active)
-
-    return jax.lax.top_k(jnp.where(present, score, NEG_INF), k)[0]
-
-
 @partial(jax.jit, static_argnames=("fetch16",))
 def _pack_rows(rows, pack_idx, fscale, fetch16):
     """Concatenate the buckets' full outputs, gather the real query rows
@@ -556,13 +485,18 @@ def _resident_step(
     # gather) instead of the per-posting random gather; exact (f32 cache)
     den_blocks=None,  # RESIDENT f32[total_blocks, 32] (normcache mode)
     tile_gblk0=None,  # RESIDENT i32[Nt+1]: first cache row of each tile
-    bucket_seg=None,  # tuple of i32[Bb, 2*tmax+2] probe-join span tables
-    bucket_C=None,  # per-bucket candidate widths (python ints, static)
-    bucket_join=None,  # per-bucket "sort"/"probe" choice (prepare-time)
 ):
     """Orchestrates the three jitted stages (decode -> per-bucket join ->
     pack); plain Python so each stage's compile cache is keyed only on
-    what it actually depends on."""
+    what it actually depends on.
+
+    The sort join is the ONLY join: a posting-granular probe join (the
+    literal next_geq leapfrog, dependent binary-search gathers) was
+    built and measured in rounds 3-4 — 28x slower at 1x and 6.7x at 50x
+    (random gather is this chip's weakest primitive; docs/PERF.md
+    round-4 probe-vs-sort tables) — and removed in round 5. The device
+    analogue of cursor skipping lives at PLAN time instead
+    (_pruned_directory's block-overlap + theta pruning)."""
     docs32, w32 = _decode_part(
         docs_words, freqs_words, tiles_docs, tiles_freqs, norm_den,
         gtile_ids, gtile_ids_f, blkperm, groups, groups_f, num_docs,
@@ -578,32 +512,10 @@ def _resident_step(
         # decode executable is the production one — it is jitted
         # separately, so its cost cannot be DCE'd by skipping the join)
         return w32
-    if (
-        ops == ("and",)
-        and bucket_seg is not None
-        and bucket_join is not None
-        and any(j == "probe" for j in bucket_join)
-    ):
-        # Per-bucket join choice, decided at PREPARE time (see _part_plan:
-        # DS2I_ENGINE_PROBE=1 forces probe, =auto applies the per-bucket
-        # cost model, default is the sort join — which measured 28x
-        # faster than all-probe on the v5e at 1x, 85.1 vs 3.0 us/q,
-        # docs/PERF.md round-4 probe-vs-sort table).
-        rows = tuple(
-            _probe_bucket(docs32, w32, d, q, s, num_docs=num_docs, k=k,
-                          tmax=tmax, C=c)
-            if j == "probe"
-            else _join_bucket(docs32, w32, d, q, t, num_docs=num_docs, k=k,
-                              ops=ops, tmax=tmax)
-            for d, q, t, s, c, j in zip(
-                bucket_dir, bucket_qwtab, bucket_tgt, bucket_seg, bucket_C,
-                bucket_join)
-        )
-    else:
-        rows = tuple(
-            _join_bucket(docs32, w32, d, q, t, num_docs=num_docs, k=k, ops=ops, tmax=tmax)
-            for d, q, t in zip(bucket_dir, bucket_qwtab, bucket_tgt)
-        )
+    rows = tuple(
+        _join_bucket(docs32, w32, d, q, t, num_docs=num_docs, k=k, ops=ops, tmax=tmax)
+        for d, q, t in zip(bucket_dir, bucket_qwtab, bucket_tgt)
+    )
     return _pack_rows(
         rows, pack_idx,
         jnp.float32(fscale) if fscale is not None else jnp.float32(1.0),
@@ -672,6 +584,14 @@ class ResidentEngine:
             # kernel at these group shapes (see ops/pallas_decode.py)
             self._pallas_req = {"0": 0, "1": 1, "interpret": 2}.get(env, 0)
         self.pallas = self._pallas_req
+        if _os.environ.get("DS2I_DECODE_NOEX") == "1":
+            from ..utils.logging import logger
+
+            logger(
+                "WARNING: DS2I_DECODE_NOEX=1 — OptPFor exception decode is "
+                "DISABLED; results are WRONG wherever blocks carry "
+                "exceptions. Timing diagnostic only (docs/PERF.md)."
+            )
         import time as _time
 
         self._init_times = {}
@@ -1362,20 +1282,6 @@ class ResidentEngine:
                 statics_d=np.array(self._statics_to_json(slist_d)),
                 statics_f=np.array(self._statics_to_json(slist_f)),
             )
-        import os as _os
-
-        if _os.environ.get("DS2I_OPT_DYNB") == "1":
-            # merge exact-b opt classes into dynamic-b (WS, E) classes —
-            # in memory only, AFTER cache load/save, so the persisted
-            # tables stay canonical (byte-identity with the native walk)
-            from .block_tiles import remap_dynb
-
-            slist_d, gid_d = remap_dynb(slist_d, gid_d)
-            slist_f, gid_f = remap_dynb(slist_f, gid_f)
-        self.group_statics_d = slist_d
-        self.tile_gid_d = gid_d
-        self.group_statics_f = slist_f
-        self.tile_gid_f = gid_f
         self._empty_statics = ("interp", 4, BLOCK)
         data = np.asarray(index.lists, dtype=np.uint8)
         assert len(data) < 2**33, (
@@ -1384,8 +1290,57 @@ class ResidentEngine:
             "across devices with parallel.DocShardedEngine"
         )
         pad = (-len(data)) % 4
-        words = np.concatenate([data, np.zeros(pad + 8, np.uint8)]).view("<u4")
-        w = jnp.asarray(words.astype(np.uint32))
+        words = np.ascontiguousarray(
+            np.concatenate([data, np.zeros(pad + 8, np.uint8)]).view("<u4").astype(np.uint32)
+        )
+
+        import os as _os
+
+        # Resident exception patch tables (round 5, DEFAULT): decode the
+        # static Simple16 exception streams ONCE here into flat
+        # (position, high<<b) pairs appended to the resident stream —
+        # the in-pass exception decode was ~47% of all decode time at
+        # 50x (docs/PERF.md round-4 DS2I_DECODE_NOEX breakdown).
+        # DS2I_EX_PATCH=0 restores the in-pass Simple16 decode
+        # (bit-identical either way, tests/test_ex_patch.py). Applied IN
+        # MEMORY after cache load/save: the persisted tables stay
+        # canonical (byte-identity with the native walk); the patch
+        # words themselves are cached separately (index-keyed — they
+        # derive from index bytes alone).
+        self.ex_patch = 0 if _os.environ.get("DS2I_EX_PATCH") == "0" else 1
+        has_opt_ex = any(s[0] == "opt" and s[2] > 0 for s in slist_d + slist_f)
+        if self.ex_patch and has_opt_ex:
+            from .block_tiles import BF_EX_BASE, build_exception_patches
+
+            cached_p = self._cache_load("expatch")
+            if cached_p is not None:
+                patch, base_d, base_f = (
+                    cached_p["patch"], cached_p["base_d"], cached_p["base_f"])
+            else:
+                patch, (base_d, base_f) = build_exception_patches(
+                    words, [t.docs, t.freqs])
+                self._cache_save("expatch", patch=patch, base_d=base_d,
+                                 base_f=base_f)
+            nw0 = np.int64(len(words))
+            if nw0 + len(patch) >= 2**31:
+                # absolute patch words must fit the i32 field columns;
+                # past ~8GB combined fall back to the in-pass decode
+                self.ex_patch = 0
+            else:
+                t.docs[:, BF_EX_BASE] = np.where(
+                    base_d >= 0, nw0 + 2 * base_d, 0).astype(np.int32)
+                t.freqs[:, BF_EX_BASE] = np.where(
+                    base_f >= 0, nw0 + 2 * base_f, 0).astype(np.int32)
+                words = np.concatenate([words, patch.astype(np.uint32)])
+                remap = lambda s: ("optp",) + s[1:] if (
+                    s[0] == "opt" and s[2] > 0) else s
+                slist_d = [remap(s) for s in slist_d]
+                slist_f = [remap(s) for s in slist_f]
+        self.group_statics_d = slist_d
+        self.tile_gid_d = gid_d
+        self.group_statics_f = slist_f
+        self.tile_gid_f = gid_f
+        w = jnp.asarray(words)
         self.docs_words = w
         self.freqs_words = w
         return t
@@ -1914,34 +1869,9 @@ class ResidentEngine:
         min_l = max(self.MIN_L, _pow2_at_least(k))
         Lrow = np.maximum(row_nb * BLOCK, 1)
         Lb = (2 ** np.ceil(np.log2(np.maximum(Lrow, min_l)))).astype(np.int64)
-
-        # --- probe-join row metadata (rarest span per row), hoisted above
-        # bucketing: opt-in probe mode buckets by (L, C) so each row pays
-        # its OWN pow2 candidate-width class instead of the bucket's worst
-        # row (a bucket-wide static C was the round-3 verdict's complaint).
-        # Sort-join plans keep the L-only key — identical buckets to before.
-        import os as _os
-
-        and_probe = ops == ("and",) and len(terms) > 0
-        rare_slot = rare_nb = None
         bkey = Lb << 32
-        if and_probe:
-            KEY = 64  # > max spans/row (tmax <= 32)
-            key = span_nb_eff * KEY + slot_of_span
-            rare_key = np.full(B, np.iinfo(np.int64).max, dtype=np.int64)
-            np.minimum.at(rare_key, span_row, key)
-            has = counts > 0
-            rare_slot = np.where(has, rare_key % KEY, 0)
-            rare_nb = np.where(has, rare_key // KEY, 0)
-            if _os.environ.get("DS2I_ENGINE_PROBE") in ("1", "auto"):
-                cfloor = max(_pow2_at_least(k), 64)
-                Crow = np.maximum(
-                    (2 ** np.ceil(np.log2(np.maximum(rare_nb * BLOCK, 1)))).astype(np.int64),
-                    cfloor,
-                )
-                bkey = bkey | Crow  # Crow <= Lb (rare span <= row blocks)
 
-        # --- bucket the queries by Lb (and by C class in probe mode)
+        # --- bucket the queries by Lb
         plan_buckets = []
         ubl = np.unique(bkey)
         bucket_of_row = np.zeros(B, dtype=np.int64)
@@ -1980,61 +1910,6 @@ class ResidentEngine:
             for bi, pb in enumerate(plan_buckets):
                 m = b_of == bi
                 pb["dir"][r_of[m], col_of_blk[m]] = dir_flat[m]
-
-        if and_probe:
-            # probe-join span tables (see _probe_bucket): each row's dir
-            # columns are span-contiguous runs in span order, so per-span
-            # (slot offset, slot length) + the rarest span's index fully
-            # describe the candidate/probe layout (rare_slot/rare_nb were
-            # computed above, before bucketing)
-            g_excl = np.cumsum(span_nb_eff) - span_nb_eff
-            row_first = np.zeros(B, dtype=np.int64)
-            has = counts > 0
-            row_first[has] = g_excl[sexcl[has]]
-            off_blocks = g_excl - row_first[span_row]
-            for bi, pb in enumerate(plan_buckets):
-                seg = np.zeros((pb["Bb"], 2 * tmax + 2), dtype=_I32)
-                m = b_of_span == bi
-                r, sl_ = r_of_span[m], slot_of_span[m]
-                seg[r, sl_] = off_blocks[m] * BLOCK
-                seg[r, tmax + sl_] = span_nb_eff[m] * BLOCK
-                rows_b = np.nonzero(bucket_of_row == bi)[0]
-                seg[row_in_bucket[rows_b], 2 * tmax] = rare_slot[rows_b]
-                seg[row_in_bucket[rows_b], 2 * tmax + 1] = counts[rows_b]
-                pb["seg"] = seg
-                cmax = int(rare_nb[rows_b].max()) * BLOCK if len(rows_b) else 1
-                pb["C"] = max(_pow2_at_least(max(cmax, 1)), _pow2_at_least(k), 64)
-                # per-bucket join choice, fixed at prepare time:
-                #   DS2I_ENGINE_PROBE=1     every AND bucket probes
-                #   DS2I_ENGINE_PROBE=auto  cost model per bucket — probe
-                #     costs ~C*tmax*log2(L) dependent gathers vs the sort
-                #     join's ~L*log2(L)^2 compare-exchange elements; RATIO
-                #     is the measured gather-vs-sort-element cost factor
-                #     and MIN_L keeps tiny buckets (dispatch-bound, where
-                #     the serialized fori_loop underuses the chip) on the
-                #     sort join regardless (calibration: docs/PERF.md
-                #     round-4 probe-vs-sort tables)
-                #   otherwise               sort join (the measured default)
-                probe_env = _os.environ.get("DS2I_ENGINE_PROBE", "")
-                if probe_env == "1":
-                    pb["join"] = "probe"
-                elif probe_env == "auto":
-                    # default ratio calibrated from the round-4 on-TPU
-                    # probe-vs-sort tables (docs/PERF.md): the all-probe
-                    # join measured 28x (1x) / 6.7x (50x) slower than the
-                    # sort join, i.e. a dependent gather costs ~3 orders
-                    # more than a sort element here — so probe is chosen
-                    # only for extreme C << L buckets
-                    ratio = float(_os.environ.get("DS2I_PROBE_COST_RATIO", "4096"))
-                    pmin_l = int(_os.environ.get("DS2I_PROBE_MIN_L", "65536"))
-                    L = pb["L"]
-                    pb["join"] = (
-                        "probe"
-                        if L >= pmin_l and pb["C"] * tmax * ratio < L * np.log2(L)
-                        else "sort"
-                    )
-                else:
-                    pb["join"] = "sort"
 
         # f16 download scaling: find a power of two putting every possible
         # finite score in f16's normal range [~6.1e-5, 65504); None -> f32.
@@ -2154,7 +2029,7 @@ class ResidentEngine:
                 )
                 hq.update(str(knobs).encode())
                 theta_key = f"theta_{mode}_{hq.hexdigest()}"
-                cached = self._cache_load(theta_key)
+                cached = self._cache_load(theta_key, with_norms=True)
                 if cached is not None:
                     t_arr = cached["theta"]
                     probe_theta = t_arr if np.any(np.isfinite(t_arr)) else None
@@ -2191,7 +2066,7 @@ class ResidentEngine:
                         probe_theta[qi] = float(fin[k - 1])
                 timings["probe"] = _time.time() - _tp
                 if theta_key is not None:
-                    self._cache_save(theta_key, theta=probe_theta)
+                    self._cache_save(theta_key, with_norms=True, theta=probe_theta)
             elif mode == "and" and _os.environ.get("DS2I_AND_THETA") != "0":
                 # phase 1 for AND: overlap-prune, then a docid-prefix
                 # probe on the still-heavy rows whose achieved k-th best
@@ -2207,7 +2082,7 @@ class ResidentEngine:
                 timings["probe"] = _time.time() - _tp
                 if theta_key is not None:
                     self._cache_save(
-                        theta_key,
+                        theta_key, with_norms=True,
                         theta=(probe_theta if probe_theta is not None
                                else np.full(B, -np.inf)),
                     )
@@ -2367,10 +2242,8 @@ class ResidentEngine:
                     tuple(put(b["qwtab"]) for b in bb),
                     tuple(put(b["tgt"]) for b in bb),
                     put(p["pack_idx"]),
-                    tuple(put(b["seg"]) for b in bb)
-                    if all("seg" in b for b in bb) else None,
                 )
-            d_gt, d_gf, d_bp, d_dir, d_qw, d_tgt, d_pidx, d_seg = cache[dk]
+            d_gt, d_gf, d_bp, d_dir, d_qw, d_tgt, d_pidx = cache[dk]
             out = _resident_step(
                 dw,
                 fw,
@@ -2400,9 +2273,6 @@ class ResidentEngine:
                 normcache=normcache,
                 den_blocks=nlb,
                 tile_gblk0=tg0,
-                bucket_seg=d_seg,
-                bucket_C=tuple(b.get("C", 0) for b in bb),
-                bucket_join=tuple(b.get("join", "sort") for b in bb),
             )
             pending.append((p, out))
         if not _os.environ.get("DS2I_ENGINE_NOFETCH"):  # keep compute-only timing clean

@@ -7,14 +7,29 @@ high parts - 1]).
 
 The slot section is the same per-lane bit-field extraction as Elias-Fano
 low bits (comparison-reduce word select; b is per-row dynamic). The
-Simple16 stream decodes with a STATIC unroll over the 16 selector modes
-(each mode's 28 shift/width constants are compile-time), then compacts
-to stream order with a rank comparison-reduce, and applies the high
-bits back into their slots branch-free. Everything operates on bit
-positions into the u32-viewed byte stream, so byte-misaligned codec
-regions need no special casing.
+exception stream has two decode modes:
 
-Groups are bucketed by (slot window words WS, exception capacity E).
+  ex_patch=False — in-pass Simple16 decode: a STATIC unroll over the 16
+    selector modes (each mode's 28 shift/width constants are
+    compile-time), then compaction to stream order with a rank
+    comparison-reduce, and a branch-free apply of the high bits back
+    into their slots. Measured at ~47% of all decode time at 50x
+    (docs/PERF.md round-4 DS2I_DECODE_NOEX breakdown) — the compaction
+    one-hot is (R, 2E, 2E*28) lanes.
+
+  ex_patch=True — resident exception patch tables (round 5): the
+    exception streams are STATIC index data, so the engine decodes them
+    ONCE at init (block_tiles.build_exception_patches) into flat
+    (slot position, high<<b) word pairs appended to the resident
+    stream; per-pass work drops to one contiguous (R, 2E) pair gather
+    plus the same (R, T, E) apply one-hot. Bit-identical to the in-pass
+    mode (tests/test_ex_patch.py). In this mode ex_w0 carries the
+    ABSOLUTE word index of the row's first patch pair and ex_boff is
+    unused.
+
+Everything operates on bit positions into the u32-viewed byte stream,
+so byte-misaligned codec regions need no special casing. Groups are
+bucketed by (slot window words WS, exception capacity E).
 """
 
 from functools import partial
@@ -55,14 +70,15 @@ def _extract_u32s(words, w0, boff, count):
     return lo | hi
 
 
-@partial(jax.jit, static_argnames=("WS", "E", "T", "b_static", "s16_v2"))
+@partial(jax.jit, static_argnames=("WS", "E", "T", "b_static", "ex_patch"))
 def optpfor_decode(words, slot_w0, slot_boff, b, n_ex, ex_w0, ex_boff, WS, E,
-                   T=128, b_static=None, s16_v2=0):
+                   T=128, b_static=None, ex_patch=False):
     """Decode one group of full OptPFor blocks.
 
     words: u32[] device stream; slot_w0/slot_boff: (R,) i32 word index +
     bit-in-word of the slot section (word-based so multi-GB streams fit
-    i32); b/n_ex: (R,) i32; ex_w0/ex_boff: exception stream cursor.
+    i32); b/n_ex: (R,) i32; ex_w0/ex_boff: exception stream cursor
+    (ex_patch=False) or first patch-pair word index (ex_patch=True).
     WS: static slot-window words (>= ceil((31 + T*b)/32));
     E: static exception capacity (>= max n_ex in group)
     b_static: when the whole group shares one bit width, every slot's
@@ -113,115 +129,46 @@ def optpfor_decode(words, slot_w0, slot_boff, b, n_ex, ex_w0, ex_boff, WS, E,
         )
         out = low & bmask  # (R, T) u32
 
-    if E > 0:
+    if E > 0 and ex_patch:
+        # resident patch tables: entry e of row r lives at words
+        # [ex_w0[r] + 2e] = slot position, [+1] = (high << b), decoded
+        # once at engine init. One contiguous pair gather + the apply.
+        ee = jnp.arange(E, dtype=jnp.int32)[None, :]
+        pidx = jnp.clip(ex_w0[:, None] + 2 * ee, 0, max(nw - 2, 0))
+        pos = words[pidx].astype(jnp.int32)  # (R, E)
+        add = words[pidx + 1]  # (R, E) u32, pre-shifted by b
+        evalid = ee < n_ex[:, None]
+        hit = (j[:, :, None] == pos[:, None, :]) & evalid[:, None, :]
+        out = out | jnp.where(hit, add[:, None, :], _U32(0)).sum(axis=2, dtype=_U32)
+    elif E > 0:
         K = 2 * E
         xw = _extract_u32s(words, ex_w0, ex_boff, K)  # <= one s16 word per value
         sel = (xw >> _U32(28)).astype(jnp.int32)
         payload = xw & _U32(0x0FFFFFFF)
 
-        if s16_v2 == 2:
-            # v3 (round 4): gather-free two-stage lookup with the heavy
-            # contractions on the MXU. v1's scatter is an (R, K, K*28)
-            # one-hot — the largest lane count in the whole decode
-            # (DS2I_DECODE_NOEX measured the exception path at ~half of
-            # decode time); v2 tried table gathers + take_along_axis
-            # and measured SLOWER (random gather is this chip's weakest
-            # primitive — again). v3 keeps everything one-hot but moves
-            # the (K_t x K_w) @ (K_w x 28) value contraction to batched
-            # matmuls over 8-bit value chunks: one-hot rows times ints
-            # <= 2^8 sum exactly (single nonzero term), so any matmul
-            # precision is bit-exact. Bit-identity: tests/test_s16_v2.py.
-            oh_m = (sel[:, :, None] == jnp.arange(16, dtype=jnp.int32)).astype(
-                jnp.float32
-            )  # (R, K, 16)
-            sh_t = jnp.asarray(_MODE_SHIFTS, jnp.float32)  # (16, 28), vals <= 28
-            wd_t = jnp.asarray(_MODE_WIDTHS28, jnp.float32)
-            cn_t = jnp.asarray(_MODE_COUNT, jnp.float32)  # (16,)
-            shifts = jnp.einsum("rkm,ms->rks", oh_m, sh_t).astype(_U32)
-            widths = jnp.einsum("rkm,ms->rks", oh_m, wd_t).astype(_U32)
-            cnt = jnp.einsum("rkm,m->rk", oh_m, cn_t).astype(jnp.int32)
-            val28 = (payload[:, :, None] >> shifts) & (
-                (_U32(1) << widths) - _U32(1)
-            )  # (R, K, 28) ints < 2^28
-            base = jnp.cumsum(cnt, axis=1) - cnt  # exclusive, sorted
-            kk = jnp.arange(K, dtype=jnp.int32)
-            # last word whose base <= k is k's source; zero-count words
-            # alias the next base and are masked by the cnt check below
-            le = base[:, None, :] <= kk[None, :, None]  # (R, K_t, K_w)
-            w_of_k = le.sum(axis=2, dtype=jnp.int32) - 1
-            hw = (
-                w_of_k[:, :, None] == kk[None, None, :]
-            ).astype(jnp.float32)  # (R, K_t, K_w) one-hot
-            basek = jnp.einsum("rkw,rw->rk", hw, base.astype(jnp.float32)).astype(
-                jnp.int32
-            )
-            cntk = jnp.einsum("rkw,rw->rk", hw, cnt.astype(jnp.float32)).astype(
-                jnp.int32
-            )
-            # value rows via 4 exact 8-bit-chunk matmuls on the MXU
-            valk = jnp.zeros((R, K, 28), _U32)
-            for c in range(4):
-                chunk = ((val28 >> _U32(8 * c)) & _U32(0xFF)).astype(jnp.float32)
-                got = jnp.einsum("rkw,rws->rks", hw, chunk)
-                valk = valk | (got.astype(_U32) << _U32(8 * c))
-            s_k = kk[None, :] - basek  # in-word slot of stream index k
-            ok = (s_k >= 0) & (s_k < cntk)  # k beyond the stream -> 0
-            elem = jnp.where(
-                (jnp.arange(28, dtype=jnp.int32)[None, None, :] == s_k[:, :, None])
-                & ok[:, :, None],
-                valk, _U32(0),
-            ).sum(axis=2, dtype=_U32).astype(jnp.int32)  # (R, K)
-        elif s16_v2 == 1:
-            # v2: two-stage via table gathers + take_along_axis. Measured
-            # SLOWER than v1 on the v5e (gathers); kept for the record.
-            shifts = jnp.asarray(_MODE_SHIFTS, jnp.uint32)[sel]  # (R, K, 28)
-            widths = jnp.asarray(_MODE_WIDTHS28, jnp.uint32)[sel]
-            cnt = jnp.asarray(_MODE_COUNT, jnp.int32)[sel]  # (R, K)
-            val28 = (payload[:, :, None] >> shifts) & (
-                (_U32(1) << widths) - _U32(1)
-            )
-            base = jnp.cumsum(cnt, axis=1) - cnt  # exclusive
-            kk = jnp.arange(K, dtype=jnp.int32)
-            # last word whose base <= k is k's source (bases are sorted;
-            # zero-count words alias the next base and mask out below)
-            w_of_k = (
-                base[:, None, :] <= kk[None, :, None]
-            ).sum(axis=2, dtype=jnp.int32) - 1  # (R, K)
-            w_of_k = jnp.clip(w_of_k, 0, K - 1)
-            valk = jnp.take_along_axis(val28, w_of_k[:, :, None], axis=1)
-            basek = jnp.take_along_axis(base, w_of_k, axis=1)
-            cntk = jnp.take_along_axis(cnt, w_of_k, axis=1)
-            s_k = kk[None, :] - basek  # in-word slot of stream index k
-            ok = (s_k >= 0) & (s_k < cntk)  # k beyond the stream -> 0
-            elem = jnp.where(
-                (jnp.arange(28, dtype=jnp.int32)[None, None, :] == s_k[:, :, None])
-                & ok[:, :, None],
-                valk, _U32(0),
-            ).sum(axis=2, dtype=_U32).astype(jnp.int32)  # (R, K)
-        else:
-            cnt = jnp.zeros((R, K), jnp.int32)
-            val28 = jnp.zeros((R, K, 28), _U32)
-            vmask = jnp.zeros((R, K, 28), bool)
-            slot28 = jnp.arange(28, dtype=jnp.int32)[None, None, :]
-            for m in range(16):
-                hit = sel == m
-                cnt = cnt + jnp.where(hit, _MODE_COUNT[m], 0)
-                sh = jnp.asarray(_MODE_SHIFTS[m], jnp.uint32)[None, None, :]
-                wd = jnp.asarray(_MODE_WIDTHS28[m], jnp.uint32)[None, None, :]
-                vm = (payload[:, :, None] >> sh) & ((_U32(1) << wd) - _U32(1))
-                val28 = jnp.where(hit[:, :, None], vm, val28)
-                vmask = jnp.where(hit[:, :, None], slot28 < _MODE_COUNT[m], vmask)
+        cnt = jnp.zeros((R, K), jnp.int32)
+        val28 = jnp.zeros((R, K, 28), _U32)
+        vmask = jnp.zeros((R, K, 28), bool)
+        slot28 = jnp.arange(28, dtype=jnp.int32)[None, None, :]
+        for m in range(16):
+            hit = sel == m
+            cnt = cnt + jnp.where(hit, _MODE_COUNT[m], 0)
+            sh = jnp.asarray(_MODE_SHIFTS[m], jnp.uint32)[None, None, :]
+            wd = jnp.asarray(_MODE_WIDTHS28[m], jnp.uint32)[None, None, :]
+            vm = (payload[:, :, None] >> sh) & ((_U32(1) << wd) - _U32(1))
+            val28 = jnp.where(hit[:, :, None], vm, val28)
+            vmask = jnp.where(hit[:, :, None], slot28 < _MODE_COUNT[m], vmask)
 
-            base = jnp.cumsum(cnt, axis=1) - cnt  # exclusive
-            sidx = base[:, :, None] + slot28  # stream index of each (word, slot)
-            fl_idx = sidx.reshape(R, K * 28)
-            fl_val = val28.reshape(R, K * 28)
-            fl_ok = vmask.reshape(R, K * 28)
+        base = jnp.cumsum(cnt, axis=1) - cnt  # exclusive
+        sidx = base[:, :, None] + slot28  # stream index of each (word, slot)
+        fl_idx = sidx.reshape(R, K * 28)
+        fl_val = val28.reshape(R, K * 28)
+        fl_ok = vmask.reshape(R, K * 28)
 
-            kk = jnp.arange(K, dtype=jnp.int32)[None, :, None]
-            elem = jnp.where(
-                (fl_idx[:, None, :] == kk) & fl_ok[:, None, :], fl_val[:, None, :], _U32(0)
-            ).sum(axis=2, dtype=_U32).astype(jnp.int32)  # (R, K) stream values
+        kk = jnp.arange(K, dtype=jnp.int32)[None, :, None]
+        elem = jnp.where(
+            (fl_idx[:, None, :] == kk) & fl_ok[:, None, :], fl_val[:, None, :], _U32(0)
+        ).sum(axis=2, dtype=_U32).astype(jnp.int32)  # (R, K) stream values
 
         # positions: first absolute, then gaps-1; highs (high-1) start at
         # stream index n_ex (per-row dynamic)

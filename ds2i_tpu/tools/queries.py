@@ -173,8 +173,12 @@ def engine_latency_sweep(index, wdata, queries, type_name, ops, k=10,
 
     # per-request plans produce many distinct (Bb, L, tmax) bucket shapes;
     # persist their compiles so repeat sweeps skip the (dominant) XLA
-    # compile cost — same cache bench.py uses
+    # compile cost — same cache bench.py uses. Prior config values are
+    # restored on return so a library caller's process-global compile-
+    # cache behavior is untouched after the sweep.
     cache = os.environ.get("DS2I_BENCH_CACHE", "/tmp/ds2i_bench")
+    prev_cfg = (jax.config.jax_compilation_cache_dir,
+                jax.config.jax_persistent_cache_min_compile_time_secs)
     jax.config.update("jax_compilation_cache_dir", os.path.join(cache, "jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     from ..engine import ResidentEngine
@@ -183,6 +187,16 @@ def engine_latency_sweep(index, wdata, queries, type_name, ops, k=10,
     op_name = ops[0] if ops else "ranked_and"
     eops = _ENGINE_OPS.get(op_name, ("and",))
     prune = op_name in ("wand", "maxscore")
+    try:
+        _sweep_batches(engine, queries, type_name, op_name, eops, prune, k,
+                       batch_sizes, max_batches)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_cfg[0])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_cfg[1])
+
+
+def _sweep_batches(engine, queries, type_name, op_name, eops, prune, k,
+                   batch_sizes, max_batches):
     for bs in batch_sizes:
         size = len(queries) if bs is None else bs
         if size <= 0:

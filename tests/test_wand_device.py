@@ -103,49 +103,6 @@ def test_ranked_and_skip_matches_exhaustive(tname):
         np.testing.assert_allclose(p, a, rtol=1e-3, err_msg=f"q{i}")
 
 
-def test_probe_join_matches_sort_join(monkeypatch):
-    """The pure-AND probe join (device leapfrog at posting granularity,
-    _probe_bucket) must match the sort join bucket-for-bucket on both
-    the exhaustive and pruned paths."""
-    idx, wd, qs = _build("block_optpfor", seed=13)
-    eng = ResidentEngine(idx, wd, pallas=0)
-    sort_ex = eng.ranked_and(qs, k=10)  # sort join is the default
-    sort_pr = eng.ranked_and(qs, k=10, prune=True)
-    monkeypatch.setenv("DS2I_ENGINE_PROBE", "1")
-    probe_ex = eng.ranked_and(qs, k=10)
-    probe_pr = eng.ranked_and(qs, k=10, prune=True)
-    for i in range(len(qs)):
-        for a, p, tag in ((sort_ex[i], probe_ex[i], "exhaustive"),
-                          (sort_pr[i], probe_pr[i], "pruned"),
-                          (sort_ex[i], probe_pr[i], "pruned-vs-exact")):
-            assert len(a) == len(p), f"{tag} q{i}: result count"
-            np.testing.assert_allclose(p, a, rtol=1e-3, err_msg=f"{tag} q{i}")
-
-
-def test_probe_auto_mixed_plan_matches(monkeypatch):
-    """DS2I_ENGINE_PROBE=auto picks the join PER BUCKET by the cost
-    model; a plan mixing probe and sort buckets must still match the
-    default sort join exactly. Knobs chosen to force a mixed plan at
-    this toy scale (the production defaults only probe at L >= 64k)."""
-    idx, wd, qs = _build("block_optpfor", seed=13)
-    eng = ResidentEngine(idx, wd, pallas=0)
-    base = eng.ranked_and(qs, k=10)
-    base_pr = eng.ranked_and(qs, k=10, prune=True)
-    monkeypatch.setenv("DS2I_ENGINE_PROBE", "auto")
-    monkeypatch.setenv("DS2I_PROBE_MIN_L", "512")
-    monkeypatch.setenv("DS2I_PROBE_COST_RATIO", "40")
-    plan = eng.prepare(qs, k=10, ops=("and",))
-    joins = {b["join"] for p in plan["plans"] for b in p["buckets"]}
-    assert joins == {"probe", "sort"}, joins  # knobs must split the buckets
-    auto = eng.ranked_and(qs, k=10)
-    auto_pr = eng.ranked_and(qs, k=10, prune=True)
-    for i in range(len(qs)):
-        for a, p, tag in ((base[i], auto[i], "exhaustive"),
-                          (base_pr[i], auto_pr[i], "pruned")):
-            assert len(a) == len(p), f"{tag} q{i}: result count"
-            np.testing.assert_allclose(p, a, rtol=1e-3, err_msg=f"{tag} q{i}")
-
-
 def test_overlap_and_pyramid_against_bruteforce():
     """_blk_overlap must return the exact block range intersecting a
     docid interval, and _range_ub must upper-bound (within its stated
