@@ -187,8 +187,13 @@ def main():
     engine.execute(plan)
     log(f"warmup pass (incl. compile): {time.time()-t0:.1f}s")
 
+    # 9 timed passes (the reference uses 2, queries.cpp:25-60; the
+    # tunnel's transient congestion makes individual passes vary — the
+    # round-4 driver capture and the builder's session disagreed by 35%
+    # on 5-pass medians, so the median is taken over more passes and the
+    # min/max spread is part of the recorded artifact)
     times = []
-    for run in range(5):
+    for run in range(int(os.environ.get("DS2I_BENCH_PASSES", 9))):
         t0 = time.time()
         res = engine.execute(plan)
         dt = time.time() - t0
@@ -214,6 +219,8 @@ def main():
         assert bad == 0, f"pruned op mismatched exhaustive on {bad} queries"
 
     mean_us = float(np.median(times) / len(queries) * 1e6)
+    min_us = float(np.min(times) / len(queries) * 1e6)
+    max_us = float(np.max(times) / len(queries) * 1e6)
     fam = "and" if BENCH_OP in ("and", "and_skip") else "or"
     measured = _MEASURED_US.get(NUM_DOCS, {}).get(fam) if BENCH_OP != "counts" else None
     out = {
@@ -222,6 +229,11 @@ def main():
         "op": BENCH_OP,
         "value": round(mean_us, 3),
         "unit": "us/query",
+        # per-pass spread of THIS session (tunnel congestion moves
+        # individual passes; cross-session medians historically spread
+        # further — quote the range, not just the median)
+        "value_min": round(min_us, 3),
+        "value_max": round(max_us, 3),
         "vs_baseline": round(BASELINE_US / mean_us, 3),
     }
     if measured is not None:

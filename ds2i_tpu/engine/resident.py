@@ -398,6 +398,128 @@ def _decode_part(
     return docs32, w32
 
 
+# -- unfused decode: per-GROUP executables ---------------------------------
+#
+# _decode_part's compile key is the ENTIRE group layout tuple, so every
+# distinct plan layout compiles a fresh monolithic decode executable —
+# the dominant cold-start cost at 50x (docs/PERF.md round-4: first
+# pruned layout 3963 s, almost all theta-probe decode compiles). The
+# unfused path compiles one small executable PER GROUP, keyed only on
+# (R, statics): shapes recur heavily across plans/parts (the
+# quarter-pow2 ladder quantizes R), so a new plan mostly hits cache.
+# One extra dispatch per group + one concat/assemble dispatch per part;
+# used for one-shot plans (the prepare-time probe) by default and for
+# serving with DS2I_DECODE_FUSED=0.
+
+
+@partial(jax.jit, static_argnames=("st", "num_docs", "split"))
+def _decode_docs_group_step(docs_words, tiles_docs, ids, st, num_docs, split):
+    if not split:
+        raise NotImplementedError  # pair mode decodes docs+freqs together
+    return _decode_doc_group_blocks(
+        docs_words, tiles_docs[ids], st, ids.shape[0], num_docs, split=True)
+
+
+@partial(jax.jit, static_argnames=("st",))
+def _decode_freqs_group_step(freqs_words, tiles_freqs, ids, st):
+    ff = tiles_freqs[ids]
+    R = ids.shape[0]
+    T = st[-1]
+    j = jnp.arange(T, dtype=jnp.int32)[None, :]
+    valid = j < ff[:, F_NVALS][:, None]
+    fv = jnp.where(valid, _decode_block_stream(freqs_words, ff, st, R, False, 0), 0)
+    if T < BLOCK:
+        fv = jnp.pad(fv, ((0, 0), (0, BLOCK - T)))
+    return fv.reshape(R * max(T // BLOCK, 1), BLOCK)
+
+
+@partial(jax.jit, static_argnames=("st", "num_docs"))
+def _decode_pair_group_step(docs_words, freqs_words, tiles_docs, tiles_freqs,
+                            ids, st, num_docs):
+    df = tiles_docs[ids]
+    ff = tiles_freqs[ids]
+    R = ids.shape[0]
+    T = st[-1]
+    j = jnp.arange(T, dtype=jnp.int32)[None, :]
+    valid = j < df[:, F_NVALS][:, None]
+    dv = _decode_group(docs_words, df, st[1], st[2], T)
+    fv = _decode_group(freqs_words, ff, st[1], st[2], T)
+    doc = jnp.where(valid, dv, num_docs)
+    prev = jnp.concatenate([ff[:, F_PREV_CUM][:, None], fv[:, :-1]], axis=1)
+    freq = jnp.where(valid, fv - prev, 0).astype(jnp.float32)
+    return doc.reshape(R * (T // BLOCK), BLOCK), freq.reshape(R * (T // BLOCK), BLOCK)
+
+
+@partial(jax.jit, static_argnames=("T",))
+def _den_rows_group_step(den_blocks, tile_gblk0, ids, T):
+    return _cached_den_rows(den_blocks, tile_gblk0, ids, T)
+
+
+@partial(jax.jit, static_argnames=("num_docs", "rp", "perm", "normc"))
+def _assemble_part(d_parts, f_parts, den_parts, blkperm, norm_den, num_docs,
+                   rp, perm, normc):
+    """Concat per-group planes, realign freqs (split mode), evaluate
+    weights, pad to the pow2 row count — the tail of _decode_part as one
+    cheap elementwise/gather executable (compile keyed on totals)."""
+    docs32 = jnp.concatenate(d_parts, axis=0) if len(d_parts) > 1 else d_parts[0]
+    freq32 = jnp.concatenate(f_parts, axis=0) if len(f_parts) > 1 else f_parts[0]
+    if perm:
+        freq32 = jnp.take(freq32, blkperm, axis=0)
+    freq32 = freq32.astype(jnp.float32)
+    if normc:
+        den = (jnp.concatenate(den_parts, axis=0)
+               if len(den_parts) > 1 else den_parts[0])
+        den = den.reshape(docs32.shape)
+    else:
+        den = norm_den[jnp.clip(docs32, 0, num_docs - 1)]
+    w = freq32 / (freq32 + den)  # add+div only, see _decode_weight_blocks
+    w = jnp.where(docs32 < num_docs, w, 0.0)
+    rows = docs32.shape[0]
+    if rp > rows:
+        docs32 = jnp.pad(docs32, ((0, rp - rows), (0, 0)), constant_values=num_docs)
+        w = jnp.pad(w, ((0, rp - rows), (0, 0)))
+    return docs32.astype(jnp.int32), w
+
+
+def _decode_part_unfused(
+    docs_words, freqs_words, tiles_docs, tiles_freqs, norm_den,
+    gid_parts, gid_f_parts, blkperm, groups, groups_f, num_docs,
+    normcache=0, den_blocks=None, tile_gblk0=None,
+):
+    """Python orchestration of the per-group decode (ranked only — the
+    probe/one-shot path always scores). gid_parts: per-group id arrays
+    (docs order); gid_f_parts: freqs order (split mode)."""
+    d_parts, f_parts, den_parts = [], [], []
+    if groups_f:
+        for (off, R, st), ids in zip(groups, gid_parts):
+            d_parts.append(_decode_docs_group_step(
+                docs_words, tiles_docs, ids, st, num_docs, True))
+            if normcache:
+                den_parts.append(_den_rows_group_step(
+                    den_blocks, tile_gblk0, ids, st[-1]))
+        for (off, R, st), ids in zip(groups_f, gid_f_parts):
+            f_parts.append(_decode_freqs_group_step(
+                freqs_words, tiles_freqs, ids, st))
+        perm = True
+    else:
+        for (off, R, st), ids in zip(groups, gid_parts):
+            d, f = _decode_pair_group_step(
+                docs_words, freqs_words, tiles_docs, tiles_freqs, ids, st,
+                num_docs)
+            d_parts.append(d)
+            f_parts.append(f)
+            if normcache:
+                den_parts.append(_den_rows_group_step(
+                    den_blocks, tile_gblk0, ids, st[-1]))
+        perm = False
+    rows = sum(int(x.shape[0]) for x in d_parts)
+    return _assemble_part(
+        tuple(d_parts), tuple(f_parts), tuple(den_parts) if normcache else (),
+        blkperm, norm_den, num_docs, rp=_pow2_at_least(rows), perm=perm,
+        normc=int(bool(normcache)),
+    )
+
+
 @partial(jax.jit, static_argnames=("num_docs", "k", "ops", "tmax"))
 def _join_bucket(docs32, w32, bdir, qwtab, tgtv, num_docs, k, ops, tmax):
     """Join/score/top-k for one query bucket (all Bb rows, including the
@@ -485,6 +607,8 @@ def _resident_step(
     # gather) instead of the per-posting random gather; exact (f32 cache)
     den_blocks=None,  # RESIDENT f32[total_blocks, 32] (normcache mode)
     tile_gblk0=None,  # RESIDENT i32[Nt+1]: first cache row of each tile
+    fused=1,  # 0: per-group decode executables (gtile_ids/gtile_ids_f
+    # are then TUPLES of per-group id arrays) — see _decode_part_unfused
 ):
     """Orchestrates the three jitted stages (decode -> per-bucket join ->
     pack); plain Python so each stage's compile cache is keyed only on
@@ -497,13 +621,21 @@ def _resident_step(
     round-4 probe-vs-sort tables) — and removed in round 5. The device
     analogue of cursor skipping lives at PLAN time instead
     (_pruned_directory's block-overlap + theta pruning)."""
-    docs32, w32 = _decode_part(
-        docs_words, freqs_words, tiles_docs, tiles_freqs, norm_den,
-        gtile_ids, gtile_ids_f, blkperm, groups, groups_f, num_docs,
-        ranked=("or" in ops) or ("and" in ops),
-        pallas=pallas, normcache=normcache, den_blocks=den_blocks,
-        tile_gblk0=tile_gblk0,
-    )
+    if fused:
+        docs32, w32 = _decode_part(
+            docs_words, freqs_words, tiles_docs, tiles_freqs, norm_den,
+            gtile_ids, gtile_ids_f, blkperm, groups, groups_f, num_docs,
+            ranked=("or" in ops) or ("and" in ops),
+            pallas=pallas, normcache=normcache, den_blocks=den_blocks,
+            tile_gblk0=tile_gblk0,
+        )
+    else:
+        docs32, w32 = _decode_part_unfused(
+            docs_words, freqs_words, tiles_docs, tiles_freqs, norm_den,
+            gtile_ids, gtile_ids_f, blkperm, groups, groups_f, num_docs,
+            normcache=normcache, den_blocks=den_blocks,
+            tile_gblk0=tile_gblk0,
+        )
     import os as _os
 
     if _os.environ.get("DS2I_ENGINE_JOIN") == "0":
@@ -1510,7 +1642,8 @@ class ResidentEngine:
         return rest_ub + qw.astype(np.float64)[span_of_blk] * self.wmax_blk[gblk_flat]
 
     def _pruned_directory(self, terms, qw, counts, k, span_row,
-                          theta_override=None, probe_rank=None, mode="or"):
+                          theta_override=None, probe_rank=None, mode="or",
+                          essential=False):
         """Block-max pruned flat directory (device WAND/MaxScore,
         queries.hpp:200-319/:478-591 semantics, batched):
 
@@ -1675,11 +1808,93 @@ class ResidentEngine:
             th = theta[span_row[span_of_blk]]
             keep = ~(ub < th - np.abs(th) * 1e-4)
 
+            if essential:
+                keep = self._essential_restrict(
+                    keep, t, qw, counts, missing, theta, span_row,
+                    span_of_blk, gblk_flat)
+
         gblk_kept = gblk_flat[keep]
         span_kept = span_of_blk[keep]
         row_of_blk = span_row[span_kept]
         row_nb = np.bincount(row_of_blk, minlength=B).astype(np.int64)
         return gblk_kept, span_kept, row_of_blk, row_nb
+
+    def _essential_restrict(self, keep, t, qw, counts, missing, theta,
+                            span_row, span_of_blk, gblk_flat):
+        """MaxScore's essential/non-essential split, applied at PLAN time
+        (the device analogue of maxscore_query's candidate restriction,
+        queries.hpp:478-591): per query, sort terms ascending by their
+        max possible contribution qw*list_wmax; the maximal prefix whose
+        cumulative sum stays below theta is NON-ESSENTIAL — no doc
+        scoring >= theta can consist of non-essential postings alone, so
+        a surviving non-essential block is kept only when its docid
+        range overlaps >= 1 surviving ESSENTIAL block of the same query
+        (a top-k doc has an essential posting, and both its blocks
+        contain its docid, hence overlap — so every top-k doc keeps all
+        its blocks and assembled scores stay exact; the restriction is
+        often tighter than the score UB test because the UB's pyramid
+        range-max rounds outward by up to 4x)."""
+        B = len(counts)
+        nspans = len(t)
+        contrib = np.where(missing, 0.0, qw.astype(np.float64) * self.list_wmax[t])
+        # within-row ascending contribution order
+        order = np.lexsort((contrib, span_row))
+        csum = np.cumsum(contrib[order])
+        sexcl = np.cumsum(counts) - counts
+        row_of_o = span_row[order]
+        # per-row exclusive base of the global cumsum: value just before
+        # the row's first ordered span (lexsort keeps rows contiguous, so
+        # row r's ordered spans occupy [sexcl[r], sexcl[r]+counts[r]))
+        row_base = np.zeros(B, dtype=np.float64)
+        nz = counts > 0
+        row_base[nz] = np.where(sexcl[nz] > 0, csum[np.maximum(sexcl[nz] - 1, 0)], 0.0)
+        within = csum - row_base[row_of_o]
+        th_o = theta[row_of_o]
+        # non-essential: cumulative (ascending) max-contribution strictly
+        # below theta, with the same 1e-4 relative slack the UB test uses
+        # (device scores accumulate in f32; the split must not claim
+        # "< theta" on sums f32 noise could push over). Rows with no
+        # usable theta keep everything essential, and the last (largest)
+        # span of each row is always essential.
+        is_last = np.zeros(nspans, dtype=bool)
+        if nspans:
+            is_last[np.cumsum(counts)[nz] - 1] = True
+        noness_o = (np.isfinite(th_o)
+                    & (within < th_o - np.abs(th_o) * 1e-4) & ~is_last)
+        is_noness = np.zeros(nspans, dtype=bool)
+        is_noness[order] = noness_o
+        if not is_noness.any():
+            return keep
+
+        stride = self._short_stride
+        dmax_e = self.dmax_blk[gblk_flat]
+        dmin_e = self._blk_dlo[gblk_flat]
+        row_e = span_row[span_of_blk]
+        ess_entry = keep & ~is_noness[span_of_blk]
+        non_entry = keep & is_noness[span_of_blk]
+        if not non_entry.any():
+            return keep
+        eidx = np.nonzero(ess_entry)[0]
+        srt = np.argsort(row_e[eidx] * stride + dmax_e[eidx], kind="stable")
+        eidx = eidx[srt]
+        ekey = row_e[eidx] * stride + dmax_e[eidx]
+        # keyed suffix-min of dmin: later rows' keys exceed any same-row
+        # dhi by construction (dmin < stride), so cross-row contamination
+        # can never fake an overlap
+        kmin = row_e[eidx] * stride + dmin_e[eidx]
+        sufmin = (np.minimum.accumulate(kmin[::-1])[::-1]
+                  if len(kmin) else kmin)
+        nidx = np.nonzero(non_entry)[0]
+        pos = np.searchsorted(ekey, row_e[nidx] * stride + dmin_e[nidx])
+        posc = np.minimum(pos, max(len(ekey) - 1, 0))
+        ok = (
+            (pos < len(ekey))
+            & (ekey[posc] < (row_e[nidx] + 1) * stride)
+            & (sufmin[posc] - row_e[nidx] * stride <= dmax_e[nidx])
+        ) if len(ekey) else np.zeros(len(nidx), dtype=bool)
+        keep = keep.copy()
+        keep[nidx[~ok]] = False
+        return keep
 
     def _and_prefix_probe(self, dir0, terms, qw, counts, k, tmax):
         """Docid-prefix AND probe: for rows whose overlap-pruned
@@ -1749,6 +1964,7 @@ class ResidentEngine:
                 qids=np.arange(q0, q1), prune=True, pruned_dir=pd,
             )
             pp["fscale"] = None  # thresholds need f32 downloads
+            pp["fused"] = 0  # one-shot plan: per-group decode compiles
             plans.append(pp)
         pplan = {"plans": plans, "n": len(hrows), "k": k, "ops": ("and",)}
         pres = self.collect(pplan, self.dispatch(pplan))
@@ -2055,6 +2271,7 @@ class ResidentEngine:
                         qids=np.arange(q0, q1), prune=True, pruned_dir=pd,
                     )
                     pp["fscale"] = None  # thresholds need f32 downloads
+                    pp["fused"] = 0  # one-shot plan: per-group decode compiles
                     probe_plans.append(pp)
                 pplan = {"plans": probe_plans, "n": B, "k": k, "ops": ("or",)}
                 pres = self.collect(pplan, self.dispatch(pplan))
@@ -2098,6 +2315,7 @@ class ResidentEngine:
                 full_dir = self._pruned_directory(
                     terms, qw, counts, k, span_row,
                     theta_override=probe_theta, mode=mode,
+                    essential=(prune == "maxscore"),
                 )
             timings["directory"] = _time.time() - _tp
             _tp = _time.time()
@@ -2232,18 +2450,39 @@ class ResidentEngine:
                 nlb, tg0 = (self.den_blocks, self.tile_gblk0) if normcache else (None, None)
                 put = jnp.asarray
             dk = pi % len(self.devices) if self._replicas else 0
+            # ranked one-shot plans (the prepare-time probe) decode
+            # UNFUSED: per-group executables keyed on (R, statics) hit
+            # the compile cache across plans, where the fused decode
+            # recompiles per plan layout. DS2I_DECODE_FUSED overrides
+            # both ways for measurement.
+            fenv = _os.environ.get("DS2I_DECODE_FUSED")
+            ranked_p = ("or" in p["ops"]) or ("and" in p["ops"])
+            fused = int(p.get("fused", 1)) if fenv is None else int(fenv != "0")
+            if not ranked_p or self.pallas:
+                fused = 1
             cache = p.setdefault("_dev", {})
-            if dk not in cache:
-                cache[dk] = (
-                    put(p["gtile_ids"]),
-                    put(p["gtile_f"]),
+            if (dk, fused) not in cache:
+                if fused:
+                    gt, gf = put(p["gtile_ids"]), put(p["gtile_f"])
+                else:
+                    gt = tuple(
+                        put(p["gtile_ids"][off : off + R])
+                        for off, R, _ in p["groups"]
+                    )
+                    gf = tuple(
+                        put(p["gtile_f"][off : off + R])
+                        for off, R, _ in p["groups_f"]
+                    )
+                cache[(dk, fused)] = (
+                    gt,
+                    gf,
                     put(p["blkperm"]),
                     tuple(put(b["dir"]) for b in bb),
                     tuple(put(b["qwtab"]) for b in bb),
                     tuple(put(b["tgt"]) for b in bb),
                     put(p["pack_idx"]),
                 )
-            d_gt, d_gf, d_bp, d_dir, d_qw, d_tgt, d_pidx = cache[dk]
+            d_gt, d_gf, d_bp, d_dir, d_qw, d_tgt, d_pidx = cache[(dk, fused)]
             out = _resident_step(
                 dw,
                 fw,
@@ -2273,6 +2512,7 @@ class ResidentEngine:
                 normcache=normcache,
                 den_blocks=nlb,
                 tile_gblk0=tg0,
+                fused=fused,
             )
             pending.append((p, out))
         if not _os.environ.get("DS2I_ENGINE_NOFETCH"):  # keep compute-only timing clean
@@ -2363,6 +2603,17 @@ class ResidentEngine:
         decode, shrinking both the decode set and the join width."""
         return [self._topk_list(r[2]) for r in self.run(queries, k=k, ops=("or",), prune=True)]
 
-    # maxscore_query (queries.hpp:478-591) has identical results; the
-    # batched pruning covers both cursor strategies
-    maxscore = wand
+    def maxscore(self, queries, k=10):
+        """Top-k OR with the MaxScore candidate restriction layered on
+        the block-max directory (maxscore_query semantics,
+        queries.hpp:478-591, at plan time): terms are split into
+        essential/non-essential by cumulative max contribution vs the
+        per-query threshold, and a non-essential term's blocks are kept
+        only where they overlap a surviving essential block
+        (_essential_restrict). Results equal ranked_or's top-k exactly
+        (tested); the restriction can out-prune wand's score-UB test
+        because the UB's pyramid range-max rounds outward."""
+        return [
+            self._topk_list(r[2])
+            for r in self.run(queries, k=k, ops=("or",), prune="maxscore")
+        ]

@@ -21,8 +21,17 @@ def generate_collection(
     num_queries=3_500,
     max_query_len=4,
     seed=1729,
+    clustered=False,
 ):
     """Writes <basename>.{docs,freqs,sizes} and <basename>.queries.
+
+    clustered=True generates STRONGLY clustered docids — each list's
+    postings form dense bursts of near-consecutive docids (the docid
+    locality of url/crawl-ordered corpora that partitioned Elias-Fano
+    exploits, optimal_partition.hpp:70-121 / SIGIR'14 §6: dense runs
+    become all-ones or low-bitsize partitions). The default mixes 50%
+    per-term locality with 50% uniform draws, which leaves opt/uniform
+    little to gain over flat EF (docs/PERF.md space table).
 
     Returns (num_docs, num_terms_written, total_postings).
     """
@@ -37,16 +46,34 @@ def generate_collection(
 
     # Draw (term, doc) pairs in bulk; dedupe via a combined key. np.unique
     # sorts, giving docids sorted within each term for free.
-    term_rep = np.repeat(np.arange(num_terms, dtype=np.int64), (dfs * 1.25 + 4).astype(np.int64))
-    # half the mass drawn from a per-term cluster center for docid locality
-    centers = rng.randint(0, num_docs, size=num_terms)
-    local = rng.rand(len(term_rep)) < 0.5
-    spread = np.maximum(50, num_docs // 20)
-    docs_draw = np.where(
-        local,
-        (centers[term_rep] + rng.randint(-spread, spread, size=len(term_rep))) % num_docs,
-        rng.randint(0, num_docs, size=len(term_rep)),
-    )
+    rep = (dfs * 1.25 + 4).astype(np.int64)
+    term_rep = np.repeat(np.arange(num_terms, dtype=np.int64), rep)
+    if clustered:
+        # dense bursts: posting p of a term belongs to cluster p//64 and
+        # sits at center + floor((p%64) * step), step in [1, 1.3) per
+        # cluster — runs of (near-)consecutive docids with ~25% skips
+        offs = np.cumsum(rep) - rep
+        intra = np.arange(len(term_rep), dtype=np.int64) - offs[term_rep]
+        nclust = (rep + 63) // 64
+        cbase = np.cumsum(nclust) - nclust
+        cid = cbase[term_rep] + (intra >> 6)
+        total_c = int(nclust.sum())
+        centers_c = rng.randint(0, num_docs, size=total_c).astype(np.int64)
+        steps_c = 1.0 + 0.3 * rng.rand(total_c)
+        docs_draw = (
+            centers_c[cid] + np.floor((intra & 63) * steps_c[cid]).astype(np.int64)
+        ) % num_docs
+    else:
+        # half the mass drawn from a per-term cluster center for docid
+        # locality
+        centers = rng.randint(0, num_docs, size=num_terms)
+        local = rng.rand(len(term_rep)) < 0.5
+        spread = np.maximum(50, num_docs // 20)
+        docs_draw = np.where(
+            local,
+            (centers[term_rep] + rng.randint(-spread, spread, size=len(term_rep))) % num_docs,
+            rng.randint(0, num_docs, size=len(term_rep)),
+        )
     keys = np.unique(term_rep * np.int64(num_docs) + docs_draw)
     terms = (keys // num_docs).astype(np.int64)
     docs = (keys % num_docs).astype(np.uint32)

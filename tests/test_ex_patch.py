@@ -136,6 +136,26 @@ def test_ex_patch_cache_roundtrip(monkeypatch, tmp_path):
         np.testing.assert_array_equal(np.asarray(a0[i]), np.asarray(a1[i]))
 
 
+@pytest.mark.parametrize("tname", ["block_optpfor", "ef"])
+def test_unfused_decode_matches_fused(monkeypatch, tname):
+    """The per-group (unfused) decode path — default for one-shot probe
+    plans, DS2I_DECODE_FUSED=0 for serving — must be bit-equal to the
+    fused per-layout decode executable on both pruned ops."""
+    idx, wd, qs = _build(tname, seed=43, num_docs=2000, nterms=60)
+    out = {}
+    for fe in ("1", "0"):
+        monkeypatch.setenv("DS2I_DECODE_FUSED", fe)
+        e = ResidentEngine(idx, wd, pallas=0)
+        out[(fe, "skip")] = e.ranked_and(qs, k=10, prune=True)
+        out[(fe, "wand")] = e.wand(qs, k=10)
+        jax.clear_caches()
+    for op in ("skip", "wand"):
+        for i in range(len(qs)):
+            np.testing.assert_array_equal(
+                np.asarray(out[("1", op)][i]), np.asarray(out[("0", op)][i]),
+                err_msg=f"{op} q{i}")
+
+
 def test_r_fine_ladder_bit_identical(monkeypatch):
     """The quarter-pow2 decode-row ladder (default since round 4;
     DS2I_R_FINE=0 restores pow2) must be bit-equal to pow2 padding —

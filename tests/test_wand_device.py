@@ -77,6 +77,30 @@ def test_wand_matches_exhaustive(tname):
                 )
 
 
+def test_maxscore_essential_restriction_prunes_and_is_exact():
+    """The device maxscore (essential/non-essential candidate
+    restriction layered on the block-max directory,
+    ResidentEngine._essential_restrict) must keep a directory no larger
+    than wand's, drop at least one non-essential block somewhere on
+    skewed data, and stay exact vs the exhaustive oracle — already
+    asserted result-wise by test_wand_matches_exhaustive; this pins the
+    ALGORITHM difference."""
+    idx, wd, qs = _build("block_optpfor", seed=21)
+    eng = ResidentEngine(idx, wd, pallas=0)
+
+    def dir_blocks(plan):
+        return sum(
+            int((b["dir"] != p["sent_dir"]).sum())
+            for p in plan["plans"] for b in p["buckets"]
+        )
+
+    pw = eng.prepare(qs, k=10, ops=("or",), prune=True)
+    pm = eng.prepare(qs, k=10, ops=("or",), prune="maxscore")
+    bw, bm = dir_blocks(pw), dir_blocks(pm)
+    assert bm <= bw, (bm, bw)
+    assert bm < bw, "essential restriction never dropped a block on skewed data"
+
+
 def test_wand_actually_prunes():
     """On skewed data the pruned plan must be materially smaller."""
     idx, wd, qs = _build("block_optpfor", seed=9)
