@@ -177,7 +177,10 @@ def main():
     t0 = time.time()
     ops = {"counts": ("counts",), "or": ("or",), "wand": ("or",),
            "maxscore": ("or",)}.get(BENCH_OP, ("and",))
-    prune = BENCH_OP in ("wand", "maxscore", "and_skip")
+    # maxscore = the round-5 distinct algorithm (essential-lists
+    # candidate restriction, ResidentEngine.maxscore)
+    prune = ("maxscore" if BENCH_OP == "maxscore"
+             else BENCH_OP in ("wand", "and_skip"))
     plan = engine.prepare(queries, k=10, ops=ops, ranked=BENCH_OP != "counts", prune=prune)
     log(f"batch layout{' (block-max pruned)' if prune else ''}: "
         f"{time.time()-t0:.1f}s, {len(plan['plans'])} parts")

@@ -84,7 +84,8 @@ def engine_perftest(index, wdata, queries, type_name, ops, k=10, runs=2):
         # exhaustive ranked_or; ResidentEngine.wand)
         plan = engine.prepare(
             queries, k=k, ops=_ENGINE_OPS[op_name],
-            prune=op_name in ("wand", "maxscore"),
+            prune=("maxscore" if op_name == "maxscore"
+                   else op_name == "wand"),
         )
         times = []
         for run in range(runs + 1):
@@ -186,7 +187,7 @@ def engine_latency_sweep(index, wdata, queries, type_name, ops, k=10,
     engine = ResidentEngine(index, wdata)
     op_name = ops[0] if ops else "ranked_and"
     eops = _ENGINE_OPS.get(op_name, ("and",))
-    prune = op_name in ("wand", "maxscore")
+    prune = "maxscore" if op_name == "maxscore" else op_name == "wand"
     try:
         _sweep_batches(engine, queries, type_name, op_name, eops, prune, k,
                        batch_sizes, max_batches)
