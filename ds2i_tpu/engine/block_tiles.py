@@ -291,6 +291,20 @@ def build_exception_patches(words, fields_list):
         bases.append(base)
         sels.append((f, rows, nex, base))
         total += int(nex.sum())
+    if total:
+        # native twin (byte-identical, tested): one thread-parallel C++
+        # pass over every exception stream — ~25x the numpy builder at
+        # 50x (128 s -> ~5 s cold engine-init difference)
+        from ..native import s16_exception_patches_native
+
+        w0_a = np.concatenate([f[rows, BF_EX_W0] for f, rows, _, _ in sels])
+        bo_a = np.concatenate([f[rows, BF_EX_BOFF] for f, rows, _, _ in sels])
+        nx_a = np.concatenate([f[rows, BF_NEX] for f, rows, _, _ in sels])
+        b_a = np.concatenate([f[rows, BF_B] for f, rows, _, _ in sels])
+        bs_a = np.concatenate([base[rows] for f, rows, _, base in sels])
+        nat = s16_exception_patches_native(words, w0_a, bo_a, nx_a, b_a, bs_a, total)
+        if nat is not None:
+            return nat, bases
     out_pos = np.zeros(total, dtype=np.uint32)
     out_add = np.zeros(total, dtype=np.uint32)
     for f, rows, nex, base in sels:

@@ -347,3 +347,44 @@ def cpu_block_query_native(data, endpoints, num_lists, norm_lens, num_docs,
     if res != 0:
         return None
     return scores, counts, qus
+
+
+def s16_exception_patches_native(words, w0, boff, nex, b, base, total,
+                                 workers=None):
+    """Native twin of block_tiles._decode_s16_exception_rows over a whole
+    row set: decode OptPFor Simple16 exception streams into interleaved
+    (slot position, high<<b) u32 pairs (2*total entries). Returns the
+    patch array or None if the library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ds2i_s16_exception_patches"):
+        return None
+    lib.ds2i_s16_exception_patches.restype = None
+    lib.ds2i_s16_exception_patches.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
+    ]
+    if workers is None:
+        workers = os.cpu_count() or 1
+    data = np.ascontiguousarray(np.asarray(words, dtype=np.uint32)).view(np.uint8)
+    # slack so whole-word reads at the stream tail stay in bounds
+    data = np.concatenate([data, np.zeros(16, np.uint8)])
+    w0 = np.ascontiguousarray(w0, dtype=np.int32)
+    boff = np.ascontiguousarray(boff, dtype=np.int32)
+    nex = np.ascontiguousarray(nex, dtype=np.int32)
+    b = np.ascontiguousarray(b, dtype=np.int32)
+    base = np.ascontiguousarray(base, dtype=np.int64)
+    out = np.zeros(2 * int(total), dtype=np.uint32)
+    lib.ds2i_s16_exception_patches(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        w0.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        boff.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nex.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        base.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(w0),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), int(workers),
+    )
+    return out

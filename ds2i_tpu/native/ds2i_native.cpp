@@ -1872,3 +1872,76 @@ int64_t ds2i_cpu_block_query(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Resident exception patch tables (engine/block_tiles.build_exception_patches
+// native twin): decode each OptPFor row's Simple16 exception stream ONCE into
+// (slot position, high<<b) u32 pairs, interleaved at out[2*base[r]]. The
+// stream layout is block_codecs.hpp:203-216's [first pos, pos gaps - 1,
+// high parts - 1]; byte-identical output to the vectorized numpy builder
+// (tested). Thread-parallel over rows.
+
+extern "C" {
+
+void ds2i_s16_exception_patches(
+    const uint8_t* data, int64_t nbytes,
+    const int32_t* w0, const int32_t* boff, const int32_t* nex,
+    const int32_t* b, const int64_t* base, int64_t nrows,
+    uint32_t* out, int nthreads)
+{
+    const blockenc::S16Mode* modes = blockenc::s16_modes();
+    auto rd32_at_bit = [&](int64_t bit) -> uint32_t {
+        int64_t byte = bit >> 3;
+        int sh = (int)(bit & 7);
+        uint64_t v = 0;
+        for (int i = 0; i < 8 && byte + i < nbytes; i++)
+            v |= (uint64_t)data[byte + i] << (8 * i);
+        return (uint32_t)(v >> sh);
+    };
+    auto work = [&](int64_t lo, int64_t hi) {
+        uint32_t vals[260];
+        for (int64_t r = lo; r < hi; r++) {
+            int K = 2 * nex[r];
+            if (K <= 0) continue;
+            int64_t bit = (int64_t)(uint32_t)w0[r] * 32 + boff[r];
+            int got = 0;
+            while (got < K) {
+                uint32_t word = rd32_at_bit(bit);
+                bit += 32;
+                const blockenc::S16Mode& m = modes[word >> 28];
+                uint32_t payload = word & 0x0FFFFFFFu;
+                int sh = 0;
+                for (int i = 0; i < m.cnt && got < K; i++) {
+                    int wd = m.widths[i];
+                    vals[got++] = (payload >> sh) & ((wd >= 32) ? 0xFFFFFFFFu : ((1u << wd) - 1));
+                    sh += wd;
+                }
+            }
+            uint32_t* o = out + 2 * base[r];
+            uint32_t pos = 0;
+            int n = nex[r];
+            for (int i = 0; i < n; i++) {
+                pos = i == 0 ? vals[0] : pos + vals[i] + 1;
+                uint32_t high = vals[n + i] + 1;
+                o[2 * i] = pos;
+                o[2 * i + 1] = (b[r] < 32) ? (high << b[r]) : 0;
+            }
+        }
+    };
+    if (nthreads < 1) nthreads = 1;
+    int nt = (int)std::min<int64_t>(nthreads, std::max<int64_t>(nrows, 1));
+    if (nt == 1 || nrows < 4096) {
+        work(0, nrows);
+    } else {
+        std::vector<std::thread> ts;
+        int64_t chunk = (nrows + nt - 1) / nt;
+        for (int t = 0; t < nt; t++) {
+            int64_t lo = t * chunk, hi = std::min<int64_t>(nrows, lo + chunk);
+            if (lo >= hi) break;
+            ts.emplace_back(work, lo, hi);
+        }
+        for (auto& th : ts) th.join();
+    }
+}
+
+}  // extern "C"

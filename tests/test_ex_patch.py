@@ -136,6 +136,34 @@ def test_ex_patch_cache_roundtrip(monkeypatch, tmp_path):
         np.testing.assert_array_equal(np.asarray(a0[i]), np.asarray(a1[i]))
 
 
+def test_native_patch_builder_byte_identical(monkeypatch):
+    """The C++ exception-patch decoder must produce the identical patch
+    stream to the vectorized numpy builder (same bit semantics as the
+    device in-pass decode, block_codecs.hpp:203-216 layout)."""
+    from ds2i_tpu.native import _load, available
+
+    if not available() or not hasattr(_load(), "ds2i_s16_exception_patches"):
+        pytest.skip("native library not built")
+    from ds2i_tpu.engine.block_tiles import (
+        build_block_tables, build_exception_patches,
+    )
+
+    idx, _, _ = _build(seed=3, fmax=5000)
+    t, *_rest = build_block_tables(idx)
+    data = np.asarray(idx.lists, dtype=np.uint8)
+    pad = (-len(data)) % 4
+    words = np.ascontiguousarray(
+        np.concatenate([data, np.zeros(pad + 8, np.uint8)]).view("<u4").astype(np.uint32)
+    )
+    p_nat, bases_nat = build_exception_patches(words, [t.docs, t.freqs])
+    monkeypatch.setenv("DS2I_NATIVE", "0")
+    p_py, bases_py = build_exception_patches(words, [t.docs, t.freqs])
+    assert len(p_nat) == len(p_py) > 0
+    np.testing.assert_array_equal(p_nat, p_py)
+    for a, c in zip(bases_nat, bases_py):
+        np.testing.assert_array_equal(a, c)
+
+
 @pytest.mark.parametrize("tname", ["block_optpfor", "ef"])
 def test_unfused_decode_matches_fused(monkeypatch, tname):
     """The per-group (unfused) decode path — default for one-shot probe
