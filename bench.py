@@ -21,12 +21,15 @@ Protocol mirrors queries.cpp:25-60: queries are parsed/laid out up front
 prepared plan's layout arrays additionally pin on device on the warmup
 pass and are reused, the engine's analogue of replaying the parsed
 vector), then 1 untimed warmup pass (also triggers XLA compilation) and
-5 timed passes; MEDIAN per-query microseconds over the timed passes.
-The reference uses the mean of 2 passes on a dedicated CPU; the device
-here sits behind a shared tunnel whose transfer bandwidth shows
-transient congestion (individual passes vary 2x for identical work —
-all pass times are logged to stderr), so the median estimates the same
-quantity robustly. Each timed pass decodes the compressed postings on
+9 timed passes (DS2I_BENCH_PASSES; rounds 1-4 used 5); the JSON line
+reports the MEDIAN per-query microseconds as "value" plus the per-pass
+spread as "value_min"/"value_max". The reference uses the mean of 2
+passes on a dedicated CPU; the device here sits behind a shared tunnel
+whose transfer bandwidth shows transient congestion (individual passes
+vary 2x for identical work, and cross-SESSION 5-pass medians have
+differed 35% on identical code — all pass times are logged to stderr),
+so the median is taken over more passes and the min/max range is part
+of the recorded artifact. Each timed pass decodes the compressed postings on
 device, joins, scores, and downloads the top-k scores — nothing decoded
 is cached across passes.
 

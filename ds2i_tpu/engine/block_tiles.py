@@ -65,7 +65,6 @@ BF_EX_BASE = 7
 _MODE_COUNT = [sum(c for c, _ in mode) for mode in S16_MODES]
 
 # bucket tables for group statics
-_WS_BUCKETS = (6, 18, 34, 66, 131)
 _E_BUCKETS = (0, 4, 8, 16, 32, 64, 128)
 _NC_BUCKETS = (8, 16, 32, 64, 128)
 _WIN_BUCKETS = (4, 16, 64, 180)
@@ -314,7 +313,9 @@ def build_exception_patches(words, fields_list):
         # (R, 2*Em, 28) temporary stays in budget
         srt = np.argsort(nex, kind="stable")
         order, onex = rows[srt], nex[srt]
-        budget = 1 << 26  # u64 elements (~512MB peak temporary)
+        # budget counts ONE (R, 2*Em, 28) u64 plane; the decode holds
+        # ~6 such temporaries at peak, so this bounds peak memory ~512MB
+        budget = 1 << 23
         i = 0
         while i < len(order):
             hi = i + 1

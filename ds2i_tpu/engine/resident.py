@@ -172,8 +172,8 @@ def _decode_block_stream(words, fld, st, R, is_docs, num_docs):
 def _decode_doc_group_blocks(docs_words, df, st, R, num_docs, split):
     """One decode group's docids as masked, padded 32-slot block rows
     (R * max(T//32, 1), 32); pad slots carry num_docs. Shared by the
-    query step's split mode and the norm-cache init so the two paths
-    cannot diverge."""
+    query step's split mode, the unfused per-group step, and the
+    norm-cache init so the paths cannot diverge."""
     T = st[-1]
     j = jnp.arange(T, dtype=jnp.int32)[None, :]
     valid = j < df[:, F_NVALS][:, None]
@@ -184,6 +184,35 @@ def _decode_doc_group_blocks(docs_words, df, st, R, num_docs, split):
     else:
         doc = jnp.where(valid, _decode_group(docs_words, df, st[1], st[2], T), num_docs)
     return doc.reshape(-1, BLOCK)
+
+
+def _decode_freq_group_blocks(freqs_words, ff, st, R):
+    """One decode group's raw freqs as masked, padded 32-slot block rows
+    (split mode). Shared by the fused decode (_decode_weight_blocks) and
+    the unfused per-group step so the two cannot diverge."""
+    T = st[-1]
+    j = jnp.arange(T, dtype=jnp.int32)[None, :]
+    valid = j < ff[:, F_NVALS][:, None]
+    fv = jnp.where(valid, _decode_block_stream(freqs_words, ff, st, R, False, 0), 0)
+    if T < BLOCK:
+        fv = jnp.pad(fv, ((0, 0), (0, BLOCK - T)))
+    return fv.reshape(R * max(T // BLOCK, 1), BLOCK)
+
+
+def _decode_pair_blocks(docs_words, freqs_words, df, ff, st, R, num_docs):
+    """One EF-family group's (docids, raw freqs) as 32-slot block rows
+    (pair mode: both streams share the group layout; F_PREV_CUM carries
+    the prefix-sum preceding the tile). Shared by the fused decode and
+    the unfused per-group step."""
+    T = st[-1]
+    j = jnp.arange(T, dtype=jnp.int32)[None, :]
+    valid = j < df[:, F_NVALS][:, None]
+    dv = _decode_group(docs_words, df, st[1], st[2], T)
+    fv = _decode_group(freqs_words, ff, st[1], st[2], T)
+    doc = jnp.where(valid, dv, num_docs)
+    prev = jnp.concatenate([ff[:, F_PREV_CUM][:, None], fv[:, :-1]], axis=1)
+    freq = jnp.where(valid, fv - prev, 0).astype(jnp.float32)
+    return doc.reshape(R * (T // BLOCK), BLOCK), freq.reshape(R * (T // BLOCK), BLOCK)
 
 
 @partial(jax.jit, static_argnames=("groups", "num_docs", "split"))
@@ -243,14 +272,9 @@ def _decode_weight_blocks(
                 den_rows.append(_cached_den_rows(den_blocks, tile_gblk0, ids, st[-1]))
         for off, R, st in groups_f:
             ids = gtile_ids_f[off : off + R]
-            ff = tiles_freqs[ids]
-            T = st[-1]
-            j = jnp.arange(T, dtype=jnp.int32)[None, :]
-            valid = j < ff[:, F_NVALS][:, None]
-            fv = jnp.where(valid, _decode_block_stream(freqs_words, ff, st, R, False, num_docs), 0)
-            if T < BLOCK:
-                fv = jnp.pad(fv, ((0, 0), (0, BLOCK - T)))
-            f_blocks.append(fv.reshape(R * max(T // BLOCK, 1), BLOCK))
+            f_blocks.append(
+                _decode_freq_group_blocks(freqs_words, tiles_freqs[ids], st, R)
+            )
         docs32 = jnp.concatenate(d_blocks, axis=0)
         freq32 = jnp.take(jnp.concatenate(f_blocks, axis=0), blkperm, axis=0)
         freq32 = freq32.astype(jnp.float32)
@@ -273,37 +297,32 @@ def _decode_weight_blocks(
     # PAIR mode (EF family): both streams share the group layout
     docs_blocks, w_blocks = [], []
     for off, R, st in groups:
-        kind, T = st[0], st[-1]
+        T = st[-1]
         ids = gtile_ids[off : off + R]
         df = tiles_docs[ids]
         ff = tiles_freqs[ids]
-        j = jnp.arange(T, dtype=jnp.int32)[None, :]
-        valid = j < df[:, F_NVALS][:, None]
-        W, WL = st[1], st[2]
         if pallas:
-            doc, freq_i = pallas_decode.decode_pair(
-                docs_words, freqs_words, df, ff, W, WL, T, num_docs,
+            d_rt, freq_i = pallas_decode.decode_pair(
+                docs_words, freqs_words, df, ff, st[1], st[2], T, num_docs,
                 interpret=(pallas == 2),
             )
-            freq = freq_i.astype(jnp.float32)
+            doc = d_rt.reshape(R * (T // BLOCK), BLOCK)
+            freq = freq_i.astype(jnp.float32).reshape(R * (T // BLOCK), BLOCK)
         else:
-            dv = _decode_group(docs_words, df, W, WL, T)  # (R, T)
-            fv = _decode_group(freqs_words, ff, W, WL, T)
-            doc = jnp.where(valid, dv, num_docs)
-            prev = jnp.concatenate([ff[:, F_PREV_CUM][:, None], fv[:, :-1]], axis=1)
-            freq = jnp.where(valid, fv - prev, 0).astype(jnp.float32)
+            doc, freq = _decode_pair_blocks(
+                docs_words, freqs_words, df, ff, st, R, num_docs)
         if raw:
             w = freq
         elif ranked:
             if normcache:
-                den = _cached_den_rows(den_blocks, tile_gblk0, ids, T).reshape(R, T)
+                den = _cached_den_rows(den_blocks, tile_gblk0, ids, T)
             else:
                 den = norm_den[jnp.clip(doc, 0, num_docs - 1)]
             w = freq / (freq + den)  # add+div only, see SPLIT branch note
         else:
             w = jnp.where(doc < num_docs, 1.0, 0.0)
-        docs_blocks.append(doc.reshape(R * (T // BLOCK), BLOCK))
-        w_blocks.append(w.reshape(R * (T // BLOCK), BLOCK))
+        docs_blocks.append(doc)
+        w_blocks.append(w)
     docs32 = jnp.concatenate(docs_blocks, axis=0)
     if raw:
         docs32 = docs32.astype(jnp.int32)
@@ -422,32 +441,16 @@ def _decode_docs_group_step(docs_words, tiles_docs, ids, st, num_docs, split):
 
 @partial(jax.jit, static_argnames=("st",))
 def _decode_freqs_group_step(freqs_words, tiles_freqs, ids, st):
-    ff = tiles_freqs[ids]
-    R = ids.shape[0]
-    T = st[-1]
-    j = jnp.arange(T, dtype=jnp.int32)[None, :]
-    valid = j < ff[:, F_NVALS][:, None]
-    fv = jnp.where(valid, _decode_block_stream(freqs_words, ff, st, R, False, 0), 0)
-    if T < BLOCK:
-        fv = jnp.pad(fv, ((0, 0), (0, BLOCK - T)))
-    return fv.reshape(R * max(T // BLOCK, 1), BLOCK)
+    return _decode_freq_group_blocks(
+        freqs_words, tiles_freqs[ids], st, ids.shape[0])
 
 
 @partial(jax.jit, static_argnames=("st", "num_docs"))
 def _decode_pair_group_step(docs_words, freqs_words, tiles_docs, tiles_freqs,
                             ids, st, num_docs):
-    df = tiles_docs[ids]
-    ff = tiles_freqs[ids]
-    R = ids.shape[0]
-    T = st[-1]
-    j = jnp.arange(T, dtype=jnp.int32)[None, :]
-    valid = j < df[:, F_NVALS][:, None]
-    dv = _decode_group(docs_words, df, st[1], st[2], T)
-    fv = _decode_group(freqs_words, ff, st[1], st[2], T)
-    doc = jnp.where(valid, dv, num_docs)
-    prev = jnp.concatenate([ff[:, F_PREV_CUM][:, None], fv[:, :-1]], axis=1)
-    freq = jnp.where(valid, fv - prev, 0).astype(jnp.float32)
-    return doc.reshape(R * (T // BLOCK), BLOCK), freq.reshape(R * (T // BLOCK), BLOCK)
+    return _decode_pair_blocks(
+        docs_words, freqs_words, tiles_docs[ids], tiles_freqs[ids], st,
+        ids.shape[0], num_docs)
 
 
 @partial(jax.jit, static_argnames=("T",))

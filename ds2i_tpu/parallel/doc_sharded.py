@@ -210,5 +210,12 @@ class DocShardedEngine:
             for r in self.run(queries, k=k, ops=("or",), prune=True)
         ]
 
-    # maxscore_query has identical results; per-shard pruning covers both
-    maxscore = wand
+    def maxscore(self, queries, k=10):
+        """Per-shard device MaxScore (the round-5 essential-restriction
+        algorithm, ResidentEngine.maxscore): prune='maxscore' forwards to
+        every shard; results equal ranked_or's exactly by the same
+        disjoint-doc-range merge argument as wand."""
+        return [
+            self._topk_list(r[2])
+            for r in self.run(queries, k=k, ops=("or",), prune="maxscore")
+        ]

@@ -180,15 +180,15 @@ def engine_latency_sweep(index, wdata, queries, type_name, ops, k=10,
     cache = os.environ.get("DS2I_BENCH_CACHE", "/tmp/ds2i_bench")
     prev_cfg = (jax.config.jax_compilation_cache_dir,
                 jax.config.jax_persistent_cache_min_compile_time_secs)
-    jax.config.update("jax_compilation_cache_dir", os.path.join(cache, "jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    from ..engine import ResidentEngine
-
-    engine = ResidentEngine(index, wdata)
     op_name = ops[0] if ops else "ranked_and"
     eops = _ENGINE_OPS.get(op_name, ("and",))
     prune = "maxscore" if op_name == "maxscore" else op_name == "wand"
     try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(cache, "jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        from ..engine import ResidentEngine
+
+        engine = ResidentEngine(index, wdata)
         _sweep_batches(engine, queries, type_name, op_name, eops, prune, k,
                        batch_sizes, max_batches)
     finally:

@@ -1,4 +1,8 @@
 #!/bin/bash
+# HISTORICAL (round-4 record): several env knobs used below
+# (DS2I_ENGINE_PROBE, DS2I_OPT_DYNB, DS2I_S16_V2) were REMOVED in round 5
+# after measuring worse; re-running those steps now measures the default
+# path under a variant label. Kept for the measurement record only.
 # Round-4 WSDM'15 hybrid pipeline re-run on the DEVICE cost model
 # (VERDICT r3 item #6): profile_queries (closed form) ->
 # profile_decoding --engine resident (real-TPU per-block decode times)

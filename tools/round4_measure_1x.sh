@@ -1,4 +1,8 @@
 #!/bin/bash
+# HISTORICAL (round-4 record): several env knobs used below
+# (DS2I_ENGINE_PROBE, DS2I_OPT_DYNB, DS2I_S16_V2) were REMOVED in round 5
+# after measuring worse; re-running those steps now measures the default
+# path under a variant label. Kept for the measurement record only.
 # Round-4 1x measurement ledger (VERDICT r3 items #1/#3/#7): headline
 # bench with full-log verification, full/compute/decode ledger, the
 # probe-vs-sort join comparison, pruning-knob ablations, and the

@@ -1,4 +1,8 @@
 #!/bin/bash
+# HISTORICAL (round-4 record): several env knobs used below
+# (DS2I_ENGINE_PROBE, DS2I_OPT_DYNB, DS2I_S16_V2) were REMOVED in round 5
+# after measuring worse; re-running those steps now measures the default
+# path under a variant label. Kept for the measurement record only.
 # Continuation of round4_measure_1x.sh after a session restart: the
 # steps that had not completed (probe_p256 ablation, wand default,
 # wand-no-probe ablation, latency sweep). Same OUT dir and protocol.

@@ -1,4 +1,8 @@
 #!/bin/bash
+# HISTORICAL (round-4 record): several env knobs used below
+# (DS2I_ENGINE_PROBE, DS2I_OPT_DYNB, DS2I_S16_V2) were REMOVED in round 5
+# after measuring worse; re-running those steps now measures the default
+# path under a variant label. Kept for the measurement record only.
 # Round-4 50x measurement (VERDICT r3 items #1/#4/#5/#7): the carried
 # 50x target is pruned ranked_and <= 5.5 us/query (BASELINE.md native
 # cursor 5.49). First run on a machine is cold (collection gen + build

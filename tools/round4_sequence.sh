@@ -1,4 +1,8 @@
 #!/bin/bash
+# HISTORICAL (round-4 record): several env knobs used below
+# (DS2I_ENGINE_PROBE, DS2I_OPT_DYNB, DS2I_S16_V2) were REMOVED in round 5
+# after measuring worse; re-running those steps now measures the default
+# path under a variant label. Kept for the measurement record only.
 # Round-4 sequence driver: wait for the 1x continuation queue, then
 # (a) full suite run 2 while the TPU is idle, (b) the 50x measurement
 # queue (VERDICT r3 #4: pruned ranked_and <= 5.5 us/q), (c) the 1x

@@ -1,4 +1,8 @@
 #!/bin/bash
+# HISTORICAL (round-4 record): several env knobs used below
+# (DS2I_ENGINE_PROBE, DS2I_OPT_DYNB, DS2I_S16_V2) were REMOVED in round 5
+# after measuring worse; re-running those steps now measures the default
+# path under a variant label. Kept for the measurement record only.
 # Round-4 stage 2: after the sequence driver (suite run, 50x queue,
 # hybrid pipeline) finishes, run the full serial suite twice (VERDICT
 # r3 #2 done-bar: two consecutive clean runs, with the per-test cache
