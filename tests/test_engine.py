@@ -303,6 +303,11 @@ def test_doc_sharded_engine_matches_single(coll, name):
     for g, w in zip(got_as, want):
         assert len(g) == len(w)
         np.testing.assert_allclose(g, w, rtol=1e-3)
+    # round-5 device maxscore (essential restriction) per shard
+    got_ms = sharded.maxscore(queries, k=10)
+    for g, e in zip(got_ms, want_or):
+        assert len(g) == len(e)
+        np.testing.assert_allclose(g, e, rtol=1e-3)
 
 
 @pytest.mark.parametrize("name", ["block_optpfor", "block_varint", "block_interpolative", "block_qmx", "block_mixed"])
