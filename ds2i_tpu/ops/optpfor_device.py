@@ -27,6 +27,16 @@ exception stream has two decode modes:
     ABSOLUTE word index of the row's first patch pair and ex_boff is
     unused.
 
+  ex_dense=True — dense resident patch rows (round 5, DS2I_EX_DENSE):
+    the engine expands each exception block's pairs once at init into a
+    T-word OR-mask (word j = high<<b if slot j has an exception else 0,
+    block_tiles.build_dense_patches) appended to the resident stream;
+    per-pass work is one contiguous (R, T) gather + OR — no one-hot
+    lanes at all, and E drops out of the group statics (the "optd"
+    groups need no exception bucketing). Trades ~T/(2*avg nex) extra
+    HBM for the (R, T, E) apply. ex_w0 = ABSOLUTE word index of the
+    row's dense mask; n_ex/ex_boff unused. Bit-identical (tested).
+
 Everything operates on bit positions into the u32-viewed byte stream,
 so byte-misaligned codec regions need no special casing. Groups are
 bucketed by (slot window words WS, exception capacity E).
@@ -70,9 +80,9 @@ def _extract_u32s(words, w0, boff, count):
     return lo | hi
 
 
-@partial(jax.jit, static_argnames=("WS", "E", "T", "b_static", "ex_patch"))
+@partial(jax.jit, static_argnames=("WS", "E", "T", "b_static", "ex_patch", "ex_dense"))
 def optpfor_decode(words, slot_w0, slot_boff, b, n_ex, ex_w0, ex_boff, WS, E,
-                   T=128, b_static=None, ex_patch=False):
+                   T=128, b_static=None, ex_patch=False, ex_dense=False):
     """Decode one group of full OptPFor blocks.
 
     words: u32[] device stream; slot_w0/slot_boff: (R,) i32 word index +
@@ -129,7 +139,13 @@ def optpfor_decode(words, slot_w0, slot_boff, b, n_ex, ex_w0, ex_boff, WS, E,
         )
         out = low & bmask  # (R, T) u32
 
-    if E > 0 and ex_patch:
+    if ex_dense:
+        # dense resident patch rows: row r's T-word OR-mask starts at
+        # word ex_w0[r] — one contiguous gather, same access pattern as
+        # the slot window load; no exception lanes.
+        didx = jnp.clip(ex_w0[:, None] + j, 0, max(nw - 1, 0))
+        out = out | words[didx]
+    elif E > 0 and ex_patch:
         # resident patch tables: entry e of row r lives at words
         # [ex_w0[r] + 2e] = slot position, [+1] = (high << b), decoded
         # once at engine init. One contiguous pair gather + the apply.
