@@ -341,50 +341,6 @@ def build_exception_patches(words, fields_list):
     return patch, bases
 
 
-def build_dense_patches(patch, bases, fields_list, statics_list, gid_list):
-    """Expand the (slot position, high<<b) patch PAIRS of
-    build_exception_patches into dense per-block T-word OR-masks
-    (DS2I_EX_DENSE): for each OPT row with exceptions, T consecutive u32
-    words where word j carries that slot's high<<b (0 where no
-    exception). Per-pass decode then ORs one contiguous (R, T) window —
-    no exception lanes at all (ops/optpfor_device.py ex_dense).
-
-    patch: u32[2*NE] interleaved pairs; bases: per-table i64 entry
-    indices (-1 = no exceptions); statics_list/gid_list: per-table group
-    statics (last element = T) and row->group ids, giving each row's T.
-    Returns (dense u32[sum T], dense_bases list of i64 word offsets into
-    dense, -1 where no exceptions)."""
-    pos, add = patch[0::2], patch[1::2]
-    t_per_group = [np.asarray([s[-1] for s in sl], dtype=np.int64)
-                   for sl in statics_list]
-    total = 0
-    row_sel = []
-    for base, tpg, gid in zip(bases, t_per_group, gid_list):
-        rows = np.nonzero(base >= 0)[0]
-        trow = tpg[np.asarray(gid)[rows]]
-        row_sel.append((rows, trow, base))
-        total += int(trow.sum())
-    dense = np.zeros(total, dtype=np.uint32)
-    dense_bases = []
-    off = 0
-    for (rows, trow, base), f in zip(row_sel, fields_list):
-        dbase = np.full(len(base), -1, dtype=np.int64)
-        if len(rows):
-            starts = off + np.cumsum(trow) - trow
-            dbase[rows] = starts
-            nex = f[rows, BF_NEX].astype(np.int64)
-            # entry e of row k: dense[starts[k] + pos[base[rows[k]]+e]] = add[...]
-            csum = np.cumsum(nex)
-            ent_local = np.arange(int(csum[-1]), dtype=np.int64) - np.repeat(csum - nex, nex)
-            ent = np.repeat(base[rows], nex) + ent_local
-            p = pos[ent].astype(np.int64)
-            np.minimum(p, np.repeat(trow, nex) - 1, out=p)  # defensive clip
-            dense[np.repeat(starts, nex) + p] = add[ent]
-            off = int(starts[-1] + trow[-1])
-        dense_bases.append(dbase)
-    return dense, dense_bases
-
-
 def _build_native(index, data, size, codec):
     """Thread-parallel C++ tile-table walk; None -> pure-Python fallback.
     Identical tables/statics to the Python walk (tests/test_engine.py)."""

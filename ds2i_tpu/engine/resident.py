@@ -139,18 +139,6 @@ def _decode_block_stream(words, fld, st, R, is_docs, num_docs):
             fld[:, BF_EX_BASE], fld[:, BF_EX_BOFF], WS=ws,
             E=0 if _noex else st[2], T=T, b_static=b, ex_patch=True,
         )
-    elif sk == "optd":
-        # dense resident patch rows (DS2I_EX_DENSE): BF_EX_BASE is each
-        # row's T-word OR-mask — one contiguous gather, no exception
-        # lanes, and E drops out of the statics entirely. Bit-identical
-        # to "opt"/"optp" (tests/test_ex_patch.py).
-        b = st[1]
-        ws = (31 + T * min(b, 32)) // 32 + 1
-        raw = optpfor_decode(
-            words, fld[:, BF_W0], fld[:, BF_BOFF], fld[:, BF_B], fld[:, BF_NEX],
-            fld[:, BF_EX_BASE], fld[:, BF_EX_BOFF], WS=ws,
-            E=0 if _noex else 1, T=T, b_static=b, ex_dense=not _noex,
-        )
     elif sk == "var":
         raw = varint_decode(
             words, fld[:, BF_W0], fld[:, BF_BOFF], fld[:, BF_B], G=st[1], T=T
@@ -1455,17 +1443,9 @@ class ResidentEngine:
         # words themselves are cached separately (index-keyed — they
         # derive from index bytes alone).
         self.ex_patch = 0 if _os.environ.get("DS2I_EX_PATCH") == "0" else 1
-        # DS2I_EX_DENSE=1: expand the pairs into dense per-block T-word
-        # OR-masks — per-pass exception work becomes one contiguous
-        # (R, T) gather + OR with no exception lanes, for ~T/(2*avg nex)
-        # extra HBM (ops/optpfor_device.py ex_dense; bit-identical,
-        # tests/test_ex_patch.py). Off by default pending the on-TPU A/B.
-        self.ex_dense = self.ex_patch and _os.environ.get("DS2I_EX_DENSE") == "1"
         has_opt_ex = any(s[0] == "opt" and s[2] > 0 for s in slist_d + slist_f)
         if self.ex_patch and has_opt_ex:
-            from .block_tiles import (
-                BF_EX_BASE, build_dense_patches, build_exception_patches,
-            )
+            from .block_tiles import BF_EX_BASE, build_exception_patches
 
             cached_p = self._cache_load("expatch")
             if cached_p is not None:
@@ -1477,29 +1457,11 @@ class ResidentEngine:
                 self._cache_save("expatch", patch=patch, base_d=base_d,
                                  base_f=base_f)
             nw0 = np.int64(len(words))
-            if self.ex_dense:
-                # dense masks derive from the cached pairs in one numpy
-                # scatter — no separate cache entry needed
-                dense, (dbase_d, dbase_f) = build_dense_patches(
-                    patch, [base_d, base_f], [t.docs, t.freqs],
-                    [slist_d, slist_f], [gid_d, gid_f])
-                if nw0 + len(dense) >= 2**31:
-                    self.ex_dense = False
-                else:
-                    t.docs[:, BF_EX_BASE] = np.where(
-                        dbase_d >= 0, nw0 + dbase_d, 0).astype(np.int32)
-                    t.freqs[:, BF_EX_BASE] = np.where(
-                        dbase_f >= 0, nw0 + dbase_f, 0).astype(np.int32)
-                    words = np.concatenate([words, dense])
-                    remap = lambda s: ("optd", s[1], s[3]) if (
-                        s[0] == "opt" and s[2] > 0) else s
-                    slist_d = [remap(s) for s in slist_d]
-                    slist_f = [remap(s) for s in slist_f]
-            if not self.ex_dense and nw0 + len(patch) >= 2**31:
+            if nw0 + len(patch) >= 2**31:
                 # absolute patch words must fit the i32 field columns;
                 # past ~8GB combined fall back to the in-pass decode
                 self.ex_patch = 0
-            elif not self.ex_dense:
+            else:
                 t.docs[:, BF_EX_BASE] = np.where(
                     base_d >= 0, nw0 + 2 * base_d, 0).astype(np.int32)
                 t.freqs[:, BF_EX_BASE] = np.where(
@@ -1509,6 +1471,12 @@ class ResidentEngine:
                     s[0] == "opt" and s[2] > 0) else s
                 slist_d = [remap(s) for s in slist_d]
                 slist_f = [remap(s) for s in slist_f]
+        # A dense-mask variant (expand the pairs into per-block T-word
+        # OR-masks; no (R, T, E) apply one-hot at all) was measured WORSE
+        # at both scales — 3.09 vs 2.67 us/q at 1x, 9.61 vs 7.78 at 50x
+        # (docs/PERF.md round-5: the extra contiguous 512B/row read costs
+        # more than the lanes it removes) — and removed; implementation
+        # in git history (commit a109b4a).
         self.group_statics_d = slist_d
         self.tile_gid_d = gid_d
         self.group_statics_f = slist_f

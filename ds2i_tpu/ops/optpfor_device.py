@@ -25,17 +25,11 @@ exception stream has two decode modes:
     plus the same (R, T, E) apply one-hot. Bit-identical to the in-pass
     mode (tests/test_ex_patch.py). In this mode ex_w0 carries the
     ABSOLUTE word index of the row's first patch pair and ex_boff is
-    unused.
-
-  ex_dense=True — dense resident patch rows (round 5, DS2I_EX_DENSE):
-    the engine expands each exception block's pairs once at init into a
-    T-word OR-mask (word j = high<<b if slot j has an exception else 0,
-    block_tiles.build_dense_patches) appended to the resident stream;
-    per-pass work is one contiguous (R, T) gather + OR — no one-hot
-    lanes at all, and E drops out of the group statics (the "optd"
-    groups need no exception bucketing). Trades ~T/(2*avg nex) extra
-    HBM for the (R, T, E) apply. ex_w0 = ABSOLUTE word index of the
-    row's dense mask; n_ex/ex_boff unused. Bit-identical (tested).
+    unused. (A third variant — dense per-block T-word OR-masks with no
+    apply one-hot at all — was measured worse at both scales, 1x 3.09
+    vs 2.67 us/q and 50x 9.61 vs 7.78: the extra contiguous 512B/row
+    read outweighs the lanes it removes. Removed; docs/PERF.md round 5,
+    implementation in git history commit a109b4a.)
 
 Everything operates on bit positions into the u32-viewed byte stream,
 so byte-misaligned codec regions need no special casing. Groups are
@@ -80,9 +74,9 @@ def _extract_u32s(words, w0, boff, count):
     return lo | hi
 
 
-@partial(jax.jit, static_argnames=("WS", "E", "T", "b_static", "ex_patch", "ex_dense"))
+@partial(jax.jit, static_argnames=("WS", "E", "T", "b_static", "ex_patch"))
 def optpfor_decode(words, slot_w0, slot_boff, b, n_ex, ex_w0, ex_boff, WS, E,
-                   T=128, b_static=None, ex_patch=False, ex_dense=False):
+                   T=128, b_static=None, ex_patch=False):
     """Decode one group of full OptPFor blocks.
 
     words: u32[] device stream; slot_w0/slot_boff: (R,) i32 word index +
@@ -139,13 +133,7 @@ def optpfor_decode(words, slot_w0, slot_boff, b, n_ex, ex_w0, ex_boff, WS, E,
         )
         out = low & bmask  # (R, T) u32
 
-    if ex_dense:
-        # dense resident patch rows: row r's T-word OR-mask starts at
-        # word ex_w0[r] — one contiguous gather, same access pattern as
-        # the slot window load; no exception lanes.
-        didx = jnp.clip(ex_w0[:, None] + j, 0, max(nw - 1, 0))
-        out = out | words[didx]
-    elif E > 0 and ex_patch:
+    if E > 0 and ex_patch:
         # resident patch tables: entry e of row r lives at words
         # [ex_w0[r] + 2e] = slot position, [+1] = (high << b), decoded
         # once at engine init. One contiguous pair gather + the apply.

@@ -86,79 +86,6 @@ def test_ex_patch_bit_identical_and_oracle(monkeypatch):
         np.testing.assert_allclose(w1[i], oo, rtol=1e-3, err_msg=f"wand q{i}")
 
 
-def test_ex_dense_bit_identical_and_oracle(monkeypatch):
-    """DS2I_EX_DENSE=1: dense per-block T-word OR-masks replace the
-    (pos, high<<b) pair gather + (R,T,E) one-hot apply with a single
-    contiguous (R,T) gather + OR. Must be bit-equal to both the pair
-    mode and the in-pass decode, and oracle-exact."""
-    idx, wd, qs = _build("block_optpfor", seed=11, fmax=3000)
-    monkeypatch.setenv("DS2I_EX_PATCH", "1")
-    e1 = ResidentEngine(idx, wd, pallas=0)
-    assert any(s[0] == "optp" for s in e1.group_statics_d)
-    a1 = e1.ranked_and(qs, k=10)
-    o1 = e1.ranked_or(qs, k=10)
-    jax.clear_caches()
-    monkeypatch.setenv("DS2I_EX_DENSE", "1")
-    e2 = ResidentEngine(idx, wd, pallas=0)
-    # exception classes moved to the dense ("optd", b, T) statics, E gone
-    assert any(s[0] == "optd" for s in e2.group_statics_d)
-    assert not any(s[0] == "optp" for s in e2.group_statics_d)
-    assert not any(s[0] == "opt" and s[2] > 0 for s in e2.group_statics_d)
-    a2 = e2.ranked_and(qs, k=10)
-    o2 = e2.ranked_or(qs, k=10)
-    p2 = e2.ranked_and(qs, k=10, prune=True)
-    w2 = e2.wand(qs, k=10)
-    for i, q in enumerate(qs):
-        np.testing.assert_array_equal(
-            np.asarray(a1[i]), np.asarray(a2[i]), err_msg=f"and q{i}")
-        np.testing.assert_array_equal(
-            np.asarray(o1[i]), np.asarray(o2[i]), err_msg=f"or q{i}")
-        oa = ranked_and_query(idx, wd, q, k=10)
-        np.testing.assert_allclose(a2[i], oa, rtol=1e-3, err_msg=f"and q{i}")
-        np.testing.assert_allclose(p2[i], oa, rtol=1e-3, err_msg=f"skip q{i}")
-        np.testing.assert_allclose(
-            w2[i], ranked_or_query(idx, wd, q, k=10), rtol=1e-3,
-            err_msg=f"wand q{i}")
-
-
-def test_ex_dense_raw_decode_bit_identical(monkeypatch):
-    """Kernel-level dense-vs-pairs identity on every exception group
-    (docs AND freqs streams, all (b, E) classes the index produces)."""
-    from ds2i_tpu.engine.resident import _decode_block_stream
-
-    idx, wd, _ = _build(seed=5, fmax=4000)  # heavy exceptions
-    monkeypatch.setenv("DS2I_EX_PATCH", "1")
-    e1 = ResidentEngine(idx, wd, pallas=0)
-    jax.clear_caches()
-    monkeypatch.setenv("DS2I_EX_DENSE", "1")
-    e2 = ResidentEngine(idx, wd, pallas=0)
-    found = 0
-    for is_docs in (True, False):
-        gs1 = e1.group_statics_d if is_docs else e1.group_statics_f
-        gs2 = e2.group_statics_d if is_docs else e2.group_statics_f
-        gid = e1.tile_gid_d if is_docs else e1.tile_gid_f
-        f1 = e1.tiles_docs if is_docs else e1.tiles_freqs
-        f2 = e2.tiles_docs if is_docs else e2.tiles_freqs
-        for gi, st in enumerate(gs1):
-            if st[0] != "optp":
-                continue
-            assert gs2[gi][0] == "optd"
-            rows = np.nonzero(gid == gi)[0][:64]
-            ridx = np.asarray(rows, np.int32)
-            v1 = np.asarray(_decode_block_stream(
-                e1.docs_words, f1[ridx], st, len(rows), is_docs, e1.num_docs))
-            v2 = np.asarray(_decode_block_stream(
-                e2.docs_words, f2[ridx], gs2[gi], len(rows), is_docs,
-                e2.num_docs))
-            nv = (e1.tiles.docs if is_docs else e1.tiles.freqs)[rows, 9]
-            for r in range(len(rows)):
-                np.testing.assert_array_equal(
-                    v1[r, : nv[r]], v2[r, : nv[r]],
-                    err_msg=f"docs={is_docs} group {gi} row {r}")
-            found += 1
-    assert found > 0
-
-
 def test_ex_patch_raw_decode_bit_identical(monkeypatch):
     """Kernel-level: the patch-mode decode of every OptPFor group must
     reproduce the in-pass Simple16 decode VALUE-for-VALUE (not just
