@@ -19,6 +19,9 @@ step() {
 }
 
 step headline_50x 10800 python bench.py
+# NOTE (historical): DS2I_EX_DENSE was removed same-day after this A/B
+# measured it worse at both scales (docs/PERF.md round 5; impl in git
+# history a109b4a) — on current HEAD this step just re-runs the default.
 DS2I_EX_DENSE=1 step dense_50x 7200 python bench.py
 DS2I_BENCH_OP=maxscore step maxscore_50x 7200 python bench.py
 DS2I_BENCH_OP=wand step wand_50x 5400 python bench.py
